@@ -1,0 +1,178 @@
+"""End-to-end pipeline orchestrator (reference: ``break_long_reads``,
+``/root/reference/chop.hpp:331-373``).
+
+Stages: load reads → load overlaps → coverage pileup → repeat annotation →
+chop → emit. The compute stages run on one of two engines:
+
+* ``jax``   — the TPU-native device pipeline (bucketed ``[B, W]`` tensors,
+              see ``raft_tpu/engine_jax.py``); the default.
+* ``oracle``— per-read numpy with reference-exact scalar semantics
+              (``raft_tpu/ops/oracle.py``); used for testing and as a
+              spill path.
+
+Both produce identical results; the test suite enforces byte parity of all
+four output files against the compiled reference binary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+from raft_tpu import emit
+from raft_tpu.io.fasta import ReadStore, load_reads
+from raft_tpu.io.paf import OverlapTable, load_paf
+from raft_tpu.ops import oracle
+from raft_tpu.params import AlgoParams
+
+
+@dataclasses.dataclass
+class RunStats:
+    n_reads: int = 0
+    n_paf_rows: int = 0
+    n_fragments: int = 0
+    total_coverage: int = 0
+    total_windows: int = 0
+    total_repeat_length: int = 0
+    total_read_length: int = 0
+    symmetric: bool = False
+    stage_seconds: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def coverage_per_window(self) -> float:
+        return self.total_coverage / self.total_windows if self.total_windows else 0.0
+
+    @property
+    def fraction_repeat(self) -> float:
+        return (self.total_repeat_length / self.total_read_length
+                if self.total_read_length else 0.0)
+
+
+class _Timer:
+    def __init__(self, stats: RunStats, name: str):
+        self.stats, self.name = stats, name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *a):
+        self.stats.stage_seconds[self.name] = (
+            self.stats.stage_seconds.get(self.name, 0.0)
+            + time.perf_counter() - self.t0)
+
+
+def _validate_inputs(read_path: str, paf_path: str) -> None:
+    """Reference check: exists + non-empty or exit (chop.hpp:336-349)."""
+    for p in (read_path, paf_path):
+        if not os.path.exists(p) or os.path.getsize(p) == 0:
+            print(f"ERROR, break_long_reads(), {p} input file either does "
+                  "not exist or is empty")
+            raise SystemExit(1)
+
+
+def compute_oracle(store: ReadStore, table: OverlapTable,
+                   params: AlgoParams, strict: bool = True):
+    """Reference-exact per-read compute (numpy oracle engine).
+
+    Returns (coverages, repeats_per_read, frags_per_read, stats_partial).
+    """
+    n = store.n_reads
+    ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
+    order = np.argsort(ev_read, kind="stable")
+    ev_read = ev_read[order]
+    ev_lo = ev_lo[order]
+    ev_hi = ev_hi[order]
+    bounds = np.searchsorted(ev_read, np.arange(n + 1))
+
+    coverages = []
+    repeats_per_read = []
+    frags_per_read = []
+    stats = RunStats()
+    hc = params.high_cov
+    for i in range(n):
+        length = int(store.lens[i])
+        lo = ev_lo[bounds[i]:bounds[i + 1]]
+        hi = ev_hi[bounds[i]:bounds[i + 1]]
+        cov = oracle.coverage_one_read(length, params.reso, lo, hi,
+                                       strict=strict)
+        rep = oracle.repeats_one_read(cov, length, params.reso, hc,
+                                      params.repeat_length,
+                                      params.flanking_length)
+        stars = oracle.markers_one_read(length, params.interval_length)
+        finals = oracle.surviving_markers(stars, rep.intervals)
+        frags = oracle.chop_one_read(length, finals, params.read_length,
+                                     params.interval_length,
+                                     params.overlap_length)
+        coverages.append(cov)
+        repeats_per_read.append(rep.intervals)
+        frags_per_read.append(frags)
+        stats.total_coverage += int(cov.sum())
+        stats.total_windows += len(cov)
+        stats.total_repeat_length += rep.repeat_length_sum
+        stats.total_read_length += length
+    return coverages, repeats_per_read, frags_per_read, stats
+
+
+def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
+                 engine: str = "jax", strict: bool = True,
+                 verbose: bool = True, use_native: bool | None = None,
+                 ) -> RunStats:
+    """Full RAFT run: parse, compute, emit the four output files."""
+    params.validate()
+    _validate_inputs(read_path, paf_path)
+    stats = RunStats()
+
+    with _Timer(stats, "load_reads"):
+        store = load_reads(read_path, use_native=use_native)
+    if verbose:
+        print(f"Real Reads {int(store.real_reads)} ")
+    with _Timer(stats, "load_paf"):
+        table = load_paf(paf_path, store, use_native=use_native)
+    if verbose:
+        print(f"INFO, Symmetric overlaps {int(table.symmetric)} ")
+        print(f"INFO, length of alignments  {table.n_rows}()")
+
+    params = params.replace(real_reads=store.real_reads,
+                            symmetric_overlaps=table.symmetric)
+    if verbose:
+        print(f"high_cov {params.high_cov}")
+
+    with _Timer(stats, "compute"):
+        if engine == "oracle":
+            coverages, repeats, frags, cstats = compute_oracle(
+                store, table, params, strict=strict)
+        elif engine == "jax":
+            from raft_tpu.engine_jax import compute_jax
+            coverages, repeats, frags, cstats = compute_jax(
+                store, table, params, strict=strict)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+
+    stats.n_reads = store.n_reads
+    stats.n_paf_rows = table.n_rows
+    stats.symmetric = table.symmetric
+    stats.total_coverage = cstats.total_coverage
+    stats.total_windows = cstats.total_windows
+    stats.total_repeat_length = cstats.total_repeat_length
+    stats.total_read_length = cstats.total_read_length
+
+    if verbose:
+        print(f"coverage per window is {stats.coverage_per_window:f} ")
+        print("coverage per window/average coverage is "
+              f"{stats.coverage_per_window / params.est_cov:f} ")
+        print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
+
+    prefix = params.outputfilename
+    with _Timer(stats, "emit_diagnostics"):
+        emit.write_coverage(prefix + ".coverage.txt", params.reso, coverages)
+        emit.write_long_repeats(prefix + ".long_repeats.txt", repeats)
+        emit.write_long_repeats_bed(prefix + ".long_repeats.bed", store,
+                                    repeats)
+    with _Timer(stats, "emit_fasta"):
+        stats.n_fragments = emit.write_fragments_fasta(
+            prefix + ".reads.fasta", store, params, frags)
+    return stats
