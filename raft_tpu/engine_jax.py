@@ -1,0 +1,320 @@
+"""TPU-native device engine: the three RAFT compute stages as one fused,
+jitted function over dense ``[B, W]`` batches.
+
+Stage mapping (reference → device formulation):
+
+* ``profileCoverage`` (repeat.hpp:28-79, per-read event sort + window
+  increments) → **diff-array scatter-add + row cumsum**: an overlap
+  interval becomes +1 at window ``floor(s/reso)`` and -1 after window
+  ``floor((e-1)/reso)``; per-read coverage is a cumulative sum along the
+  window axis. No sort, no data-dependent loops — one scatter and one
+  cumsum over the whole batch. (A Pallas one-hot-matmul variant lives in
+  ``raft_tpu/ops/pileup_pallas.py`` for the MXU path.)
+* ``repeat_annotate``'s run scan (repeat.hpp:111-168) → **vectorized
+  run-length detection**: run starts via ``high & ~high[-1]``, run ids via
+  ``cummax`` of start positions, qualifying run-ends compacted into fixed
+  ``[B, K]`` interval slots with a bounded-K scatter (K is a closed-form
+  safe bound, so no spill path is ever needed).
+* ``break_reads``'s marker deletion + fragment arithmetic
+  (chop.hpp:209-321) → **vectorized marker selection**: candidate markers
+  are an iota; deletion is an interval-stabbing test against the [B, K]
+  repeat slots; surviving markers compact via cumsum-rank scatter; fragment
+  spans gather from the compacted marker table.
+
+Everything is int32, static-shaped, and batched; the only outputs that
+return to the host are the coverage matrix (for ``.coverage.txt``), the
+repeat slots, and the per-fragment span table the emitter consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raft_tpu import bucketing
+from raft_tpu.io.fasta import ReadStore
+from raft_tpu.io.paf import OverlapTable
+from raft_tpu.ops.oracle import Fragment
+from raft_tpu.params import AlgoParams
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticCfg:
+    """Static (hashable) kernel configuration → part of the jit cache key."""
+    B: int
+    W: int
+    E: int
+    M: int          # marker slots
+    K: int          # repeat-interval slots (closed-form safe bound)
+    F: int          # fragment slots
+    reso: int
+    high_cov: int
+    repeat_length: int
+    flank: int
+    interval_length: int
+    div: int
+    overlap_length: int
+    use_pallas: bool = False
+
+
+def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
+               use_pallas: bool = False) -> StaticCfg:
+    reso = params.reso
+    il = params.interval_length
+    rl = params.repeat_length
+    # markers: 0..parts plus optional read-end; maxlen <= W*reso
+    M = (W * reso) // il + 2
+    # a qualifying run needs ceil(rl/reso) windows; runs separated by >= 1
+    # low window → closed-form cap on runs per read (no spill path needed)
+    min_run = max(1, -(-rl // reso))
+    K = (W + 1) // (min_run + 1) + 1
+    F = M // max(params.div, 1) + 2
+    return StaticCfg(B=B, W=W, E=E, M=M, K=K, F=F, reso=reso,
+                     high_cov=params.high_cov, repeat_length=rl,
+                     flank=params.flanking_length, interval_length=il,
+                     div=params.div, overlap_length=params.overlap_length,
+                     use_pallas=use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: coverage pileup
+# ---------------------------------------------------------------------------
+
+def pileup_diff_scatter(ev_row, ev_lo, ev_hi, cfg: StaticCfg):
+    """[E] events → [B, W] int32 coverage via diff-array + cumsum."""
+    B, W, reso = cfg.B, cfg.W, cfg.reso
+    w0 = ev_lo // reso
+    w1 = jnp.where(ev_hi < 0, -1, ev_hi // reso)
+    valid = (w1 >= w0) & (ev_row < B)
+    one = valid.astype(jnp.int32)
+    stride = W + 1
+    base = ev_row.astype(jnp.int32) * stride
+    flat0 = jnp.where(valid, base + w0, B * stride)
+    flat1 = jnp.where(valid, base + w1 + 1, B * stride)
+    diff = jnp.zeros(B * stride, dtype=jnp.int32)
+    diff = diff.at[flat0].add(one, mode="drop")
+    diff = diff.at[flat1].add(-one, mode="drop")
+    cov = jnp.cumsum(diff.reshape(B, stride), axis=1)[:, :W]
+    return cov
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: repeat run-length scan
+# ---------------------------------------------------------------------------
+
+def repeat_scan(cov, lens, cfg: StaticCfg):
+    """[B, W] coverage → fixed-slot repeat intervals.
+
+    Returns (rep_s, rep_e) [B, K] clamped+flanked intervals (empty slots
+    hold s=1 > e=0 so they never match a stabbing test), rep_n [B], and
+    rep_len_sum [B] (unclamped lengths, for the global stats).
+    """
+    B, W, K, reso = cfg.B, cfg.W, cfg.K, cfg.reso
+    n_win = -(-lens // reso)  # ceil
+    wi = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    valid_w = wi < n_win[:, None]
+    high = (cov >= cfg.high_cov) & valid_w
+
+    prev_high = jnp.pad(high[:, :-1], ((0, 0), (1, 0)))
+    next_high = jnp.pad(high[:, 1:], ((0, 0), (0, 1)))
+    run_start_mark = high & ~prev_high
+    run_end_mark = high & ~next_high
+
+    run_start = jax.lax.cummax(
+        jnp.where(run_start_mark, wi, -1), axis=1)
+    run_nwin = wi - run_start + 1
+    qualify = run_end_mark & (run_nwin * reso >= cfg.repeat_length)
+
+    # per-row (not global) sum: stays within int32 since it is bounded by
+    # the read length; the host accumulates into a Python int
+    rep_len_sum = jnp.sum(jnp.where(qualify, run_nwin * reso, 0), axis=1)
+
+    s = jnp.maximum(run_start * reso - cfg.flank, 0)
+    e_unc = (wi + 1) * reso + cfg.flank
+    e = jnp.minimum(e_unc, lens[:, None])
+
+    rank = jnp.cumsum(qualify.astype(jnp.int32), axis=1) - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
+    flat = jnp.where(qualify & (rank < K), row * K + rank, B * K)
+    rep_s = jnp.full(B * K, 1, dtype=jnp.int32).at[flat.ravel()].set(
+        s.ravel().astype(jnp.int32), mode="drop").reshape(B, K)
+    rep_e = jnp.zeros(B * K, dtype=jnp.int32).at[flat.ravel()].set(
+        e.ravel().astype(jnp.int32), mode="drop").reshape(B, K)
+    rep_n = jnp.sum(qualify, axis=1).astype(jnp.int32)
+    return rep_s, rep_e, rep_n, rep_len_sum
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: marker selection + fragment spans
+# ---------------------------------------------------------------------------
+
+def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
+    """Candidate markers → surviving markers → fragment span table.
+
+    Returns dict of [B] / [B, F] arrays the host emitter consumes.
+    """
+    B, M, K, F = cfg.B, cfg.M, cfg.K, cfg.F
+    il, div, ov = cfg.interval_length, cfg.div, cfg.overlap_length
+
+    parts = lens // il
+    has_rem = (lens % il) != 0
+    n_stars = parts + 1 + has_rem.astype(jnp.int32)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    star_val = jnp.where(j <= parts[:, None], j * il, lens[:, None])
+    valid_star = j < n_stars[:, None]
+
+    # interval-stabbing deletion test against the [B, K] repeat slots
+    inside = jnp.any(
+        (rep_s[:, None, :] <= star_val[:, :, None])
+        & (star_val[:, :, None] <= rep_e[:, None, :]), axis=2)
+    keep = valid_star & (
+        (j == 0) | (j == (n_stars - 1)[:, None]) | ~inside)
+
+    S = jnp.sum(keep, axis=1).astype(jnp.int32)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, M), 0)
+    flat = jnp.where(keep, row * M + rank, B * M)
+    stars_c = jnp.zeros(B * M, dtype=jnp.int32).at[flat.ravel()].set(
+        star_val.ravel(), mode="drop").reshape(B, M)
+
+    whole = S <= (div + 1)
+    extra = S - (div + 1)
+    n_frag = jnp.where(
+        whole, 1, 1 + extra // div + ((extra % div) != 0).astype(jnp.int32))
+
+    fi = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
+    pos = fi * div
+    gather = lambda idx: jnp.take_along_axis(
+        stars_c, jnp.clip(idx, 0, M - 1), axis=1)
+    star_f = gather(pos)
+    last_star = jnp.take_along_axis(
+        stars_c, jnp.clip(S - 1, 0, M - 1)[:, None], axis=1)  # [B, 1]
+    is_last = fi == (n_frag - 1)[:, None]
+    last_f = jnp.where(is_last, last_star, gather(pos + div))
+    ov_f = jnp.where(fi == 0, 0, ov)
+
+    whole_b = whole[:, None]
+    char_start = jnp.where(whole_b, 0, star_f - ov_f)
+    char_len = jnp.where(whole_b, lens[:, None], last_f - star_f + ov_f)
+    frag_valid = fi < n_frag[:, None]
+
+    return dict(n_frag=n_frag, whole=whole, char_start=char_start,
+                char_len=char_len, star=star_f, last=last_f, ov=ov_f,
+                frag_valid=frag_valid)
+
+
+# ---------------------------------------------------------------------------
+# Fused device step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
+    """Full per-batch pipeline: pileup → repeat scan → chop."""
+    if cfg.use_pallas:
+        from raft_tpu.ops.pileup_pallas import pileup_pallas
+        cov = pileup_pallas(ev_row, ev_lo, ev_hi, cfg)
+    else:
+        cov = pileup_diff_scatter(ev_row, ev_lo, ev_hi, cfg)
+    rep_s, rep_e, rep_n, rep_len_sum = repeat_scan(cov, lens, cfg)
+    frags = chop_markers(lens, rep_s, rep_e, cfg)
+
+    return dict(cov=cov, rep_s=rep_s, rep_e=rep_e, rep_n=rep_n,
+                rep_len_sum=rep_len_sum, **frags)
+
+
+# ---------------------------------------------------------------------------
+# Host driver: buckets in, per-read results out
+# ---------------------------------------------------------------------------
+
+def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
+                strict: bool = True, use_pallas: bool = False,
+                mesh=None, donate: bool = True):
+    """JAX engine with the same contract as ``pipeline.compute_oracle``."""
+    from raft_tpu.pipeline import RunStats
+
+    n = store.n_reads
+    lens = store.lens.astype(np.int32)
+    ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
+    if strict:
+        _validate_events(lens, ev_read, ev_lo, ev_hi, params.reso)
+
+    buckets = bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi,
+                                     params.reso)
+
+    coverages: list = [None] * n
+    repeats_per_read: list = [None] * n
+    frags_per_read: list = [None] * n
+    stats = RunStats()
+    stats.total_read_length = int(lens.astype(np.int64).sum())
+
+    step = device_step
+    if mesh is not None:
+        from raft_tpu.parallel.mesh import sharded_device_step
+        step = sharded_device_step(mesh)
+
+    for bk in buckets:
+        cfg = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=use_pallas)
+        out = step(jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
+                   jnp.asarray(bk.ev_lo), jnp.asarray(bk.ev_hi), cfg=cfg)
+        out = jax.device_get(out)
+        _unbatch(bk, out, params, coverages, repeats_per_read,
+                 frags_per_read, stats)
+
+    return coverages, repeats_per_read, frags_per_read, stats
+
+
+def _validate_events(lens, ev_read, ev_lo, ev_hi, reso):
+    ok = len(ev_read) == 0 or (
+        (ev_lo >= 0).all()
+        and (ev_hi < lens.astype(np.int64)[ev_read]).all())
+    if not ok:
+        raise ValueError(
+            "overlap interval exceeds read bounds (reference RAFT has an "
+            "unchecked buffer overrun here, repeat.hpp:69-73); "
+            "fix the PAF or run with --no-strict")
+
+
+def _unbatch(bk: bucketing.Bucket, out: dict, params: AlgoParams,
+             coverages, repeats_per_read, frags_per_read, stats):
+    """Scatter device batch results back to per-read host structures."""
+    reso = params.reso
+    cov = out["cov"]
+    rep_s, rep_e, rep_n = out["rep_s"], out["rep_e"], out["rep_n"]
+    n_frag = out["n_frag"]
+    whole = out["whole"]
+    char_start = out["char_start"]
+    char_len = out["char_len"]
+    star = out["star"]
+    last = out["last"]
+    ov = out["ov"]
+
+    nu = bk.n_used
+    stats.total_coverage += int(cov[:nu].sum(dtype=np.int64))
+    stats.total_windows += int(
+        (-(-bk.lens[:nu].astype(np.int64) // reso)).sum())
+    stats.total_repeat_length += int(
+        out["rep_len_sum"][:nu].astype(np.int64).sum())
+
+    for r_local, rid in enumerate(bk.read_ids):
+        L = int(bk.lens[r_local])
+        nw = -(-L // reso) if L else 0
+        coverages[rid] = cov[r_local, :nw]
+        k = int(rep_n[r_local])
+        repeats_per_read[rid] = list(zip(rep_s[r_local, :k].tolist(),
+                                         rep_e[r_local, :k].tolist()))
+        nf = int(n_frag[r_local])
+        if whole[r_local]:
+            frags_per_read[rid] = [Fragment(0, L, 0, L, 0, True)]
+        else:
+            frags_per_read[rid] = [
+                Fragment(int(char_start[r_local, f]),
+                         int(char_len[r_local, f]),
+                         int(star[r_local, f]), int(last[r_local, f]),
+                         int(ov[r_local, f]), False)
+                for f in range(nf)]
