@@ -1,0 +1,412 @@
+// raft_tpu native host I/O: streaming gz FASTA/FASTQ + PAF parsing and
+// output emission.
+//
+// TPU-native equivalent of the reference's native I/O layer (kseq.h /
+// paf.hpp / the ofstream emit loops in chop.hpp:318 and repeat.hpp:105) —
+// re-implemented from scratch as a columnar parser: instead of per-record
+// heap objects it produces contiguous blobs + int64 offsets and int32
+// overlap columns that numpy wraps zero-copy. Parsing semantics match the
+// reference exactly (first-whitespace-token names, CRLF stripping, FASTQ
+// quality skipped by length, >=10-column PAF rows, first-seen-order name
+// interning, record-0-mirror symmetric detection).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <regex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Buffered line reader over gzFile (transparently handles plain files too).
+// ---------------------------------------------------------------------------
+class LineReader {
+ public:
+  explicit LineReader(const char* path)
+      : fp_(gzopen(path, "rb")), buf_(1 << 22), pos_(0), end_(0), eof_(false) {
+    if (fp_) gzbuffer(fp_, 1 << 20);
+  }
+  ~LineReader() {
+    if (fp_) gzclose(fp_);
+  }
+  bool ok() const { return fp_ != nullptr; }
+
+  // Returns a view of the next line (without trailing \n or \r\n); false at
+  // EOF. The view stays valid until the next call.
+  bool next(const char** s, size_t* n) {
+    if (done_) return false;
+    carry_.clear();
+    for (;;) {
+      if (pos_ < end_) {
+        char* nl = static_cast<char*>(
+            memchr(buf_.data() + pos_, '\n', end_ - pos_));
+        if (nl) {
+          size_t len = nl - (buf_.data() + pos_);
+          if (carry_.empty()) {
+            *s = buf_.data() + pos_;
+            *n = strip_cr(*s, len);
+          } else {
+            carry_.append(buf_.data() + pos_, len);
+            *s = carry_.data();
+            *n = strip_cr(*s, carry_.size());
+          }
+          pos_ += len + 1;
+          return true;
+        }
+        carry_.append(buf_.data() + pos_, end_ - pos_);
+        pos_ = end_;
+      }
+      int r = gzread(fp_, buf_.data(), static_cast<unsigned>(buf_.size()));
+      if (r <= 0) {
+        done_ = true;  // final line without trailing newline
+        if (carry_.empty()) return false;
+        *s = carry_.data();
+        *n = strip_cr(*s, carry_.size());
+        return true;
+      }
+      pos_ = 0;
+      end_ = static_cast<size_t>(r);
+    }
+  }
+
+ private:
+  static size_t strip_cr(const char* s, size_t n) {
+    return (n && s[n - 1] == '\r') ? n - 1 : n;
+  }
+  gzFile fp_;
+  std::vector<char> buf_;
+  size_t pos_, end_;
+  bool eof_;
+  bool done_ = false;
+  std::string carry_;
+};
+
+struct Interner {
+  std::unordered_map<std::string, int32_t> map;
+  int32_t intern(const char* s, size_t n) {
+    auto it = map.find(std::string(s, n));
+    if (it != map.end()) return it->second;
+    int32_t id = static_cast<int32_t>(map.size());
+    map.emplace(std::string(s, n), id);
+    return id;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ store
+// ---------------------------------------------------------------------------
+struct RaftFasta {
+  std::vector<char> name_blob;   // names joined by '\0'
+  std::vector<int64_t> name_off; // n+1
+  std::vector<char> seq_blob;
+  std::vector<int64_t> seq_off;  // n+1
+  int real_reads = 1;
+  Interner interner;
+  int64_t n = 0;
+};
+
+extern "C" {
+
+RaftFasta* raftio_load_fasta(const char* path) {
+  LineReader rd(path);
+  if (!rd.ok()) return nullptr;
+  auto* fa = new RaftFasta();
+  fa->name_off.push_back(0);
+  fa->seq_off.push_back(0);
+
+  static const std::regex sim_re(
+      "^read=[0-9]+,[a-z]+,position=[0-9]+-[0-9]+,length=[0-9]+,(.*)");
+
+  bool have_rec = false;
+  bool in_fastq = false;
+  bool skipping_qual = false;
+  int64_t seq_len_cur = 0;
+  int64_t qual_len = 0;
+  std::string cur_name;
+
+  auto flush = [&]() {
+    if (!have_rec) return;
+    if (fa->n == 0) {
+      if (std::regex_match(cur_name, sim_re)) fa->real_reads = 0;
+    }
+    fa->interner.intern(cur_name.data(), cur_name.size());
+    fa->name_blob.insert(fa->name_blob.end(), cur_name.begin(),
+                         cur_name.end());
+    fa->name_blob.push_back('\0');
+    fa->name_off.push_back(static_cast<int64_t>(fa->name_blob.size()));
+    fa->seq_off.push_back(static_cast<int64_t>(fa->seq_blob.size()));
+    fa->n++;
+    have_rec = false;
+  };
+
+  const char* s;
+  size_t len;
+  while (rd.next(&s, &len)) {
+    if (skipping_qual) {
+      qual_len += static_cast<int64_t>(len);
+      if (qual_len >= seq_len_cur) skipping_qual = false;
+      continue;
+    }
+    if (len && (s[0] == '>' || s[0] == '@')) {
+      flush();
+      // name = first whitespace-delimited token after the marker
+      size_t b = 1;
+      while (b < len && isspace(static_cast<unsigned char>(s[b]))) b++;
+      size_t e = b;
+      while (e < len && !isspace(static_cast<unsigned char>(s[e]))) e++;
+      cur_name.assign(s + b, e - b);
+      have_rec = true;
+      in_fastq = (s[0] == '@');
+    } else if (len && s[0] == '+' && in_fastq) {
+      seq_len_cur = static_cast<int64_t>(fa->seq_blob.size()) -
+                    fa->seq_off.back();
+      qual_len = 0;
+      if (seq_len_cur > 0) {
+        skipping_qual = true;
+      } else {
+        flush();
+      }
+    } else if (len) {
+      if (have_rec)
+        fa->seq_blob.insert(fa->seq_blob.end(), s, s + len);
+    }
+  }
+  flush();
+  return fa;
+}
+
+void raftio_free_fasta(RaftFasta* fa) { delete fa; }
+int64_t rf_n_reads(RaftFasta* fa) { return fa->n; }
+int rf_real_reads(RaftFasta* fa) { return fa->real_reads; }
+const char* rf_name_blob(RaftFasta* fa) { return fa->name_blob.data(); }
+int64_t rf_name_blob_size(RaftFasta* fa) {
+  return static_cast<int64_t>(fa->name_blob.size());
+}
+const char* rf_seq_blob(RaftFasta* fa) { return fa->seq_blob.data(); }
+const int64_t* rf_seq_off(RaftFasta* fa) { return fa->seq_off.data(); }
+
+// ---------------------------------------------------------------------------
+// PAF
+// ---------------------------------------------------------------------------
+struct RaftPaf {
+  std::vector<int32_t> a_id, b_id, a_s, a_e, b_s, b_e;
+  int symmetric = 0;
+  int64_t n_names = 0;
+};
+
+RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
+  LineReader rd(path);
+  if (!rd.ok()) return nullptr;
+  auto* pf = new RaftPaf();
+  Interner& in = fa->interner;
+
+  bool have_first = false;
+  int32_t f_a = 0, f_b = 0, f_as = 0, f_ae = 0, f_bs = 0, f_be = 0;
+  bool check_sym = true;
+  bool symmetric = false;
+
+  const char* s;
+  size_t len;
+  const char* col[16];
+  size_t clen[16];
+  while (rd.next(&s, &len)) {
+    // split on tabs, need at least 10 columns (paf.hpp:84-86)
+    int nc = 0;
+    const char* p = s;
+    const char* endp = s + len;
+    while (nc < 16) {
+      const char* t = static_cast<const char*>(memchr(p, '\t', endp - p));
+      col[nc] = p;
+      clen[nc] = (t ? t : endp) - p;
+      nc++;
+      if (!t) break;
+      p = t + 1;
+    }
+    if (nc < 10) continue;
+
+    auto toi = [](const char* q, size_t n) -> int64_t {
+      int64_t v = 0;
+      size_t i = 0;
+      bool neg = false;
+      if (i < n && (q[i] == '-' || q[i] == '+')) neg = (q[i++] == '-');
+      for (; i < n && q[i] >= '0' && q[i] <= '9'; i++) v = v * 10 + (q[i] - '0');
+      return neg ? -v : v;
+    };
+
+    int32_t qs = static_cast<int32_t>(toi(col[2], clen[2]));
+    int32_t qe = static_cast<int32_t>(toi(col[3], clen[3]));
+    int32_t ts = static_cast<int32_t>(toi(col[7], clen[7]));
+    int32_t te = static_cast<int32_t>(toi(col[8], clen[8]));
+    int32_t ai = in.intern(col[0], clen[0]);
+    int32_t bi = in.intern(col[5], clen[5]);
+
+    if (!have_first) {
+      have_first = true;
+      f_a = ai; f_b = bi; f_as = qs; f_ae = qe; f_bs = ts; f_be = te;
+    } else if (check_sym && !symmetric) {
+      if (f_a == bi && f_b == ai && f_as == ts && f_ae == te &&
+          f_bs == qs && f_be == qe) {
+        symmetric = true;
+        check_sym = false;
+      }
+    }
+    pf->a_id.push_back(ai);
+    pf->b_id.push_back(bi);
+    pf->a_s.push_back(qs);
+    pf->a_e.push_back(qe);
+    pf->b_s.push_back(ts);
+    pf->b_e.push_back(te);
+  }
+  pf->symmetric = symmetric ? 1 : 0;
+  pf->n_names = static_cast<int64_t>(in.map.size());
+  return pf;
+}
+
+void raftio_free_paf(RaftPaf* pf) { delete pf; }
+int64_t rp_n_rows(RaftPaf* pf) { return static_cast<int64_t>(pf->a_id.size()); }
+int rp_symmetric(RaftPaf* pf) { return pf->symmetric; }
+int64_t rp_n_names(RaftPaf* pf) { return pf->n_names; }
+const int32_t* rp_a_id(RaftPaf* pf) { return pf->a_id.data(); }
+const int32_t* rp_b_id(RaftPaf* pf) { return pf->b_id.data(); }
+const int32_t* rp_a_s(RaftPaf* pf) { return pf->a_s.data(); }
+const int32_t* rp_a_e(RaftPaf* pf) { return pf->a_e.data(); }
+const int32_t* rp_b_s(RaftPaf* pf) { return pf->b_s.data(); }
+const int32_t* rp_b_e(RaftPaf* pf) { return pf->b_e.data(); }
+
+// ---------------------------------------------------------------------------
+// Emitters
+// ---------------------------------------------------------------------------
+
+namespace {
+class BufWriter {
+ public:
+  explicit BufWriter(const char* path)
+      : f_(fopen(path, "wb")), buf_(1 << 22), n_(0) {}
+  ~BufWriter() {
+    flush();
+    if (f_) fclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+  inline void put(const char* s, size_t n) {
+    if (n_ + n > buf_.size()) {
+      flush();
+      if (n > buf_.size()) {
+        fwrite(s, 1, n, f_);
+        return;
+      }
+    }
+    memcpy(buf_.data() + n_, s, n);
+    n_ += n;
+  }
+  inline void putc(char c) {
+    if (n_ + 1 > buf_.size()) flush();
+    buf_[n_++] = c;
+  }
+  inline void putint(int64_t v) {
+    char tmp[24];
+    int k = 0;
+    if (v < 0) {
+      putc('-');
+      v = -v;
+    }
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    if (n_ + static_cast<size_t>(k) > buf_.size()) flush();
+    while (k) buf_[n_++] = tmp[--k];
+  }
+  void flush() {
+    if (n_) {
+      fwrite(buf_.data(), 1, n_, f_);
+      n_ = 0;
+    }
+  }
+
+ private:
+  FILE* f_;
+  std::vector<char> buf_;
+  size_t n_;
+};
+}  // namespace
+
+// Fragment FASTA: headers are pre-rendered by the caller (hdr_blob with
+// hdr_off offsets, one per fragment; empty header → no header line, which
+// mirrors the reference's headerless simulated-mode fallthrough).
+int raftio_emit_frags(const char* path, const char* seq_blob,
+                      const int64_t* seq_off, const int32_t* frag_read,
+                      const int64_t* char_start, const int64_t* char_len,
+                      int64_t n_frags, const char* hdr_blob,
+                      const int64_t* hdr_off) {
+  BufWriter w(path);
+  if (!w.ok()) return -1;
+  for (int64_t i = 0; i < n_frags; i++) {
+    int64_t hn = hdr_off[i + 1] - hdr_off[i];
+    if (hn > 0) {
+      w.put(hdr_blob + hdr_off[i], static_cast<size_t>(hn));
+      w.putc('\n');
+    }
+    int64_t base = seq_off[frag_read[i]] + char_start[i];
+    w.put(seq_blob + base, static_cast<size_t>(char_len[i]));
+    w.putc('\n');
+  }
+  return 0;
+}
+
+// coverage.txt: "read {i} " + "{w*reso},{cov} " per window + "\n"
+// cov values for read i are cov[cov_off[i] .. cov_off[i+1])
+int raftio_emit_coverage(const char* path, const int32_t* cov,
+                         const int64_t* cov_off, int64_t n_reads,
+                         int32_t reso) {
+  BufWriter w(path);
+  if (!w.ok()) return -1;
+  for (int64_t i = 0; i < n_reads; i++) {
+    w.put("read ", 5);
+    w.putint(i);
+    w.putc(' ');
+    int64_t wstart = 0;
+    for (int64_t j = cov_off[i]; j < cov_off[i + 1]; j++) {
+      w.putint(wstart);
+      w.putc(',');
+      w.putint(cov[j]);
+      w.putc(' ');
+      wstart += reso;
+    }
+    w.putc('\n');
+  }
+  return 0;
+}
+
+// long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
+int raftio_emit_repeats(const char* path, const int32_t* rep_s,
+                        const int32_t* rep_e, const int64_t* rep_off,
+                        int64_t n_reads) {
+  BufWriter w(path);
+  if (!w.ok()) return -1;
+  for (int64_t i = 0; i < n_reads; i++) {
+    w.put("read ", 5);
+    w.putint(i);
+    w.put(", ", 2);
+    for (int64_t j = rep_off[i]; j < rep_off[i + 1]; j++) {
+      w.putint(rep_s[j]);
+      w.putc(',');
+      w.putint(rep_e[j]);
+      w.put("    ", 4);
+    }
+    w.putc('\n');
+  }
+  return 0;
+}
+
+}  // extern "C"

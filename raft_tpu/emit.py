@@ -29,7 +29,18 @@ from raft_tpu.params import AlgoParams
 
 
 def write_coverage(path: str, reso: int,
-                   coverages: Iterable[np.ndarray]) -> None:
+                   coverages: Sequence[np.ndarray],
+                   use_native: bool = True) -> None:
+    from raft_tpu.io import native
+    if use_native and native.emit_available():
+        n = len(coverages)
+        cov_off = np.zeros(n + 1, dtype=np.int64)
+        for i, cov in enumerate(coverages):
+            cov_off[i + 1] = cov_off[i] + len(cov)
+        cov_flat = (np.concatenate(coverages).astype(np.int32)
+                    if n else np.empty(0, np.int32))
+        if native.emit_coverage(path, cov_flat, cov_off, n, reso):
+            return
     with open(path, "w", buffering=1 << 20) as f:
         for i, cov in enumerate(coverages):
             parts = [f"read {i} "]
@@ -39,8 +50,25 @@ def write_coverage(path: str, reso: int,
 
 
 def write_long_repeats(path: str,
-                       repeats_per_read: Sequence[Sequence[tuple[int, int]]]
-                       ) -> None:
+                       repeats_per_read: Sequence[Sequence[tuple[int, int]]],
+                       use_native: bool = True) -> None:
+    from raft_tpu.io import native
+    if use_native and native.emit_available():
+        n = len(repeats_per_read)
+        rep_off = np.zeros(n + 1, dtype=np.int64)
+        for i, reps in enumerate(repeats_per_read):
+            rep_off[i + 1] = rep_off[i] + len(reps)
+        tot = int(rep_off[-1])
+        rep_s = np.empty(tot, dtype=np.int32)
+        rep_e = np.empty(tot, dtype=np.int32)
+        k = 0
+        for reps in repeats_per_read:
+            for (s, e) in reps:
+                rep_s[k] = s
+                rep_e[k] = e
+                k += 1
+        if native.emit_repeats(path, rep_s, rep_e, rep_off, n):
+            return
     with open(path, "w", buffering=1 << 20) as f:
         for i, reps in enumerate(repeats_per_read):
             parts = [f"read {i}, "]
@@ -107,9 +135,30 @@ def fragment_header(read_num: int, store: ReadStore, i: int,
 
 
 def write_fragments_fasta(path: str, store: ReadStore, params: AlgoParams,
-                          frags_per_read: Sequence[Sequence[Fragment]]
-                          ) -> int:
+                          frags_per_read: Sequence[Sequence[Fragment]],
+                          use_native: bool = True) -> int:
     """Emit the fragmented FASTA; returns the number of fragments written."""
+    from raft_tpu.io import native
+    if use_native and native.emit_available():
+        headers: list[str | None] = []
+        frag_read: list[int] = []
+        char_start: list[int] = []
+        char_len: list[int] = []
+        read_num = 1
+        for i, frags in enumerate(frags_per_read):
+            for frag in frags:
+                headers.append(fragment_header(read_num, store, i, frag))
+                frag_read.append(i)
+                char_start.append(frag.char_start)
+                char_len.append(frag.char_len)
+                read_num += 1
+        if native.emit_frags(
+                path, store,
+                np.asarray(frag_read, dtype=np.int32),
+                np.asarray(char_start, dtype=np.int64),
+                np.asarray(char_len, dtype=np.int64), headers):
+            return read_num - 1
+
     blob = store.seq_blob
     off = store.seq_off
     read_num = 1

@@ -29,12 +29,25 @@ repeat slots, and the per-fragment span table the emitter consumes.
 from __future__ import annotations
 
 import dataclasses
+import os
 import functools
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: bucket shapes recur across runs, and over
+# the TPU tunnel each fresh compile costs seconds — cache them on disk.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        _cache_dir = os.path.expanduser("~/.cache/raft_tpu/xla")
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
 from raft_tpu import bucketing
 from raft_tpu.io.fasta import ReadStore
@@ -213,9 +226,8 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
 # Fused device step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
-    """Full per-batch pipeline: pileup → repeat scan → chop."""
+def device_step_impl(lens, ev_row, ev_lo, ev_hi, cfg: StaticCfg):
+    """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
     if cfg.use_pallas:
         from raft_tpu.ops.pileup_pallas import pileup_pallas
         cov = pileup_pallas(ev_row, ev_lo, ev_hi, cfg)
@@ -226,6 +238,11 @@ def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
 
     return dict(cov=cov, rep_s=rep_s, rep_e=rep_e, rep_n=rep_n,
                 rep_len_sum=rep_len_sum, **frags)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
+    return device_step_impl(lens, ev_row, ev_lo, ev_hi, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -254,12 +271,19 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     stats.total_read_length = int(lens.astype(np.int64).sum())
 
     step = device_step
+    n_shards = 1
     if mesh is not None:
-        from raft_tpu.parallel.mesh import sharded_device_step
+        from raft_tpu.parallel.mesh import shard_bucket, sharded_device_step
         step = sharded_device_step(mesh)
+        n_shards = mesh.devices.size
 
     for bk in buckets:
-        cfg = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=use_pallas)
+        if n_shards > 1:
+            from raft_tpu.parallel.mesh import shard_bucket
+            bk = shard_bucket(bk, n_shards)
+        # cfg describes PER-SHARD shapes under shard_map
+        cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards, params,
+                         use_pallas=use_pallas)
         out = step(jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
                    jnp.asarray(bk.ev_lo), jnp.asarray(bk.ev_hi), cfg=cfg)
         out = jax.device_get(out)

@@ -1,24 +1,259 @@
 """ctypes bridge to the native C++ I/O library (``raft_tpu/_native``).
 
 The native library provides streaming gz-aware FASTA/FASTQ + PAF parsing
-and FASTA emission at multi-GB/s — the reference's hot I/O loops
-(``kseq.h``, ``paf.hpp``, ``chop.hpp:318``) are I/O-bound, so this is the
-Amdahl-critical host component (SURVEY.md §6-7).
-
-Until the library is built (``make -C raft_tpu/_native``), every entry
-point returns ``None`` and callers fall back to the pure-Python parsers.
+and output emission at memory bandwidth — the reference's wall time is
+dominated by parse+emit (SURVEY.md §6 Amdahl note), so this is the
+critical host component. Built on demand with the toolchain in the image;
+if the build fails every entry point returns ``None`` and callers fall
+back to the pure-Python parsers (same semantics, slower).
 """
 
 from __future__ import annotations
 
+import ctypes as C
+import os
+import subprocess
+import threading
 
-def load_reads(path):
-    return None
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
+_SO = os.path.join(_DIR, "libraftio.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
 
 
-def load_paf(path, store):
-    return None
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        src = os.path.join(_DIR, "raftio.cpp")
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(src)):
+            res = subprocess.run(["make", "-C", _DIR, "-s"],
+                                 capture_output=True, text=True)
+            if res.returncode != 0:
+                _build_failed = True
+                return None
+        try:
+            lib = C.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib):
+    P = C.POINTER
+    lib.raftio_load_fasta.restype = C.c_void_p
+    lib.raftio_load_fasta.argtypes = [C.c_char_p]
+    lib.raftio_free_fasta.argtypes = [C.c_void_p]
+    lib.rf_n_reads.restype = C.c_int64
+    lib.rf_n_reads.argtypes = [C.c_void_p]
+    lib.rf_real_reads.restype = C.c_int
+    lib.rf_real_reads.argtypes = [C.c_void_p]
+    lib.rf_name_blob.restype = C.c_void_p
+    lib.rf_name_blob.argtypes = [C.c_void_p]
+    lib.rf_name_blob_size.restype = C.c_int64
+    lib.rf_name_blob_size.argtypes = [C.c_void_p]
+    lib.rf_seq_blob.restype = C.c_void_p
+    lib.rf_seq_blob.argtypes = [C.c_void_p]
+    lib.rf_seq_off.restype = P(C.c_int64)
+    lib.rf_seq_off.argtypes = [C.c_void_p]
+
+    lib.raftio_load_paf.restype = C.c_void_p
+    lib.raftio_load_paf.argtypes = [C.c_char_p, C.c_void_p]
+    lib.raftio_free_paf.argtypes = [C.c_void_p]
+    lib.rp_n_rows.restype = C.c_int64
+    lib.rp_n_rows.argtypes = [C.c_void_p]
+    lib.rp_symmetric.restype = C.c_int
+    lib.rp_symmetric.argtypes = [C.c_void_p]
+    lib.rp_n_names.restype = C.c_int64
+    lib.rp_n_names.argtypes = [C.c_void_p]
+    for col in ("a_id", "b_id", "a_s", "a_e", "b_s", "b_e"):
+        fn = getattr(lib, f"rp_{col}")
+        fn.restype = P(C.c_int32)
+        fn.argtypes = [C.c_void_p]
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.raftio_emit_frags.restype = C.c_int
+    lib.raftio_emit_frags.argtypes = [
+        C.c_char_p, C.c_void_p, P(C.c_int64), i32p, i64p, i64p,
+        C.c_int64, C.c_char_p, i64p]
+    lib.raftio_emit_coverage.restype = C.c_int
+    lib.raftio_emit_coverage.argtypes = [
+        C.c_char_p, i32p, i64p, C.c_int64, C.c_int32]
+    lib.raftio_emit_repeats.restype = C.c_int
+    lib.raftio_emit_repeats.argtypes = [
+        C.c_char_p, i32p, i32p, i64p, C.c_int64]
+
+
+class _FastaHandle:
+    """Owns the C-side store; numpy views below keep a reference to it."""
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        if self._ptr:
+            self._lib.raftio_free_fasta(self._ptr)
+            self._ptr = None
+
+
+class _PafHandle:
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        if self._ptr:
+            self._lib.raftio_free_paf(self._ptr)
+            self._ptr = None
+
+
+def _as_array(ptr, n, dtype):
+    """Zero-copy numpy view of C memory. Lifetime: the owning handle is
+    attached to the ReadStore/OverlapTable that carries these views —
+    don't let a view outlive its parent object."""
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    ct = {np.int64: C.c_int64, np.int32: C.c_int32,
+          np.uint8: C.c_uint8}[dtype]
+    arr = np.ctypeslib.as_array(C.cast(ptr, C.POINTER(ct)), shape=(int(n),))
+    arr.flags.writeable = False
+    return arr
+
+
+def load_reads(path: str):
+    from raft_tpu.io.fasta import (ReadStore, parse_sim_align, parse_sim_chr,
+                                   parse_sim_end_pos, parse_sim_start_pos)
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ptr = lib.raftio_load_fasta(path.encode())
+    if not ptr:
+        return None
+    h = _FastaHandle(lib, ptr)
+    n = lib.rf_n_reads(ptr)
+    real = bool(lib.rf_real_reads(ptr))
+    nb_size = lib.rf_name_blob_size(ptr)
+    if nb_size:
+        name_blob = C.string_at(lib.rf_name_blob(ptr), nb_size)
+        names = name_blob[:-1].decode("ascii", errors="replace").split("\0") \
+            if n else []
+    else:
+        names = []
+    seq_off = _as_array(lib.rf_seq_off(ptr), n + 1, np.int64).copy()
+    seq_blob = _as_array(lib.rf_seq_blob(ptr),
+                         int(seq_off[-1]) if n else 0, np.uint8)
+    lens = np.diff(seq_off).astype(np.int32)
+
+    store = ReadStore(names=names, seq_blob=seq_blob, seq_off=seq_off,
+                      lens=lens, real_reads=real, name_to_id={})
+    store._native_handle = h  # keep C store alive with the store
+    if not real:
+        store.start_pos = np.asarray(
+            [parse_sim_start_pos(nm) for nm in names], dtype=np.int64)
+        store.end_pos = np.asarray(
+            [parse_sim_end_pos(nm) for nm in names], dtype=np.int64)
+        store.align = [parse_sim_align(nm) for nm in names]
+        store.chrom = [parse_sim_chr(nm) for nm in names]
+    return store
+
+
+def load_paf(path: str, store):
+    from raft_tpu.io.paf import OverlapTable
+    lib = _get_lib()
+    if lib is None:
+        return None
+    h = getattr(store, "_native_handle", None)
+    if h is None or h._ptr is None:
+        return None  # store came from the python parser; use python PAF
+    ptr = lib.raftio_load_paf(path.encode(), h._ptr)
+    if not ptr:
+        return None
+    ph = _PafHandle(lib, ptr)
+    nrows = lib.rp_n_rows(ptr)
+    cols = {}
+    for col in ("a_id", "b_id", "a_s", "a_e", "b_s", "b_e"):
+        cols[col] = _as_array(getattr(lib, f"rp_{col}")(ptr), nrows,
+                              np.int32)
+    tab = OverlapTable(
+        a_id=cols["a_id"], b_id=cols["b_id"],
+        a_start=cols["a_s"], a_end=cols["a_e"],
+        b_start=cols["b_s"], b_end=cols["b_e"],
+        symmetric=bool(lib.rp_symmetric(ptr)),
+        n_names=int(lib.rp_n_names(ptr)))
+    tab._native_handle = ph  # pin the C store to the table's lifetime
+    return tab
 
 
 def emit_available() -> bool:
-    return False
+    return _get_lib() is not None
+
+
+def emit_frags(path: str, store, frag_read: np.ndarray,
+               char_start: np.ndarray, char_len: np.ndarray,
+               headers: list[str | None]) -> bool:
+    """Native fragment-FASTA writer. ``headers[i] is None`` → no header
+    line (the reference's headerless simulated-mode fallthrough)."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    h = getattr(store, "_native_handle", None)
+    hdr_blob = bytearray()
+    hdr_off = np.empty(len(headers) + 1, dtype=np.int64)
+    hdr_off[0] = 0
+    for i, hd in enumerate(headers):
+        if hd:
+            hdr_blob += hd.encode("ascii")
+        hdr_off[i + 1] = len(hdr_blob)
+
+    seq_off = np.ascontiguousarray(store.seq_off, dtype=np.int64)
+    if h is not None and h._ptr is not None:
+        seq_ptr = lib.rf_seq_blob(h._ptr)
+    else:
+        blob = store.seq_blob
+        if isinstance(blob, np.ndarray):
+            seq_ptr = blob.ctypes.data
+        else:
+            seq_ptr = C.cast(C.c_char_p(blob), C.c_void_p)
+    rc = lib.raftio_emit_frags(
+        path.encode(), seq_ptr,
+        seq_off.ctypes.data_as(C.POINTER(C.c_int64)),
+        np.ascontiguousarray(frag_read, dtype=np.int32),
+        np.ascontiguousarray(char_start, dtype=np.int64),
+        np.ascontiguousarray(char_len, dtype=np.int64),
+        len(headers), bytes(hdr_blob), hdr_off)
+    return rc == 0
+
+
+def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
+                  n_reads: int, reso: int) -> bool:
+    lib = _get_lib()
+    if lib is None:
+        return False
+    rc = lib.raftio_emit_coverage(
+        path.encode(), np.ascontiguousarray(cov_flat, dtype=np.int32),
+        np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso)
+    return rc == 0
+
+
+def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
+                 rep_off: np.ndarray, n_reads: int) -> bool:
+    lib = _get_lib()
+    if lib is None:
+        return False
+    rc = lib.raftio_emit_repeats(
+        path.encode(), np.ascontiguousarray(rep_s, dtype=np.int32),
+        np.ascontiguousarray(rep_e, dtype=np.int32),
+        np.ascontiguousarray(rep_off, dtype=np.int64), n_reads)
+    return rc == 0

@@ -1,0 +1,105 @@
+"""Multi-device data parallelism over reads.
+
+The problem's only parallel axis is reads (SURVEY.md §2 "Parallelism
+strategies"): reads shard round-robin-free — as contiguous row ranges of
+each dense bucket — across a 1-D device mesh. Overlap events are routed to
+their owner read's shard ON THE HOST (each event touches exactly one
+read's coverage), so the hot path needs NO device collectives; only the
+global statistics use ``psum`` (the reference's global stat accumulators,
+``repeat.hpp:93-97``, become a replicated psum output).
+
+Multi-host would extend this with ``jax.distributed`` + the same
+contiguous-range ownership; per-host output shards concatenate in read-id
+order so the global fragment numbering (a strict sequential counter,
+``chop.hpp:195``) is preserved via an exclusive scan over per-read
+fragment counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raft_tpu import bucketing
+from raft_tpu.engine_jax import StaticCfg, device_step_impl
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "r") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_bucket(bk: bucketing.Bucket, n_shards: int) -> bucketing.Bucket:
+    """Re-lay a bucket for ``n_shards`` contiguous row ranges.
+
+    Rows pad to a multiple of n_shards; each shard's events are made
+    row-local and padded to a common per-shard slab so ``shard_map`` can
+    split every array with ``P('r')``. Read order is unchanged, so global
+    fragment numbering survives.
+    """
+    B_local = -(-bk.B // n_shards)
+    B = B_local * n_shards
+    lens = np.zeros(B, dtype=np.int32)
+    lens[:bk.B] = bk.lens
+
+    valid = bk.ev_row < bk.B
+    ev_row = bk.ev_row[valid]
+    ev_lo = bk.ev_lo[valid]
+    ev_hi = bk.ev_hi[valid]
+    # events are already laid out in row order by make_buckets
+    cuts = np.searchsorted(ev_row, np.arange(0, B + B_local, B_local))
+    per = np.diff(cuts)
+    E_s = bucketing._next_pow2(max(int(per.max(initial=1)), 1), lo=64)
+
+    r = np.full(n_shards * E_s, B_local, dtype=np.int32)
+    lo = np.zeros(n_shards * E_s, dtype=np.int32)
+    hi = np.full(n_shards * E_s, -1, dtype=np.int32)
+    for s in range(n_shards):
+        a, b = cuts[s], cuts[s + 1]
+        o = s * E_s
+        r[o:o + (b - a)] = ev_row[a:b] - s * B_local
+        lo[o:o + (b - a)] = ev_lo[a:b]
+        hi[o:o + (b - a)] = ev_hi[a:b]
+
+    return bucketing.Bucket(
+        read_ids=bk.read_ids, B=B, W=bk.W, E=n_shards * E_s,
+        lens=lens, ev_row=r, ev_lo=lo, ev_hi=hi, n_used=bk.n_used)
+
+
+def sharded_device_step(mesh: Mesh):
+    """Wrap the device pipeline in shard_map over the read axis.
+
+    cfg must describe PER-SHARD shapes (B_local, E_local); callers go
+    through ``compute_jax(..., mesh=...)`` which prepares buckets with
+    ``shard_bucket`` and divides cfg dims accordingly.
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
+        def local(l, er, el, eh):
+            out = device_step_impl(l, er, el, eh, cfg)
+            # global stats ride a psum collective (ICI), matching the
+            # reference's global accumulators (repeat.hpp:93-97)
+            out["global_rep_len"] = jax.lax.psum(
+                jnp.sum(out["rep_len_sum"]), axis)
+            return out
+
+        specs_in = (P(axis), P(axis), P(axis), P(axis))
+        out_specs = dict(
+            cov=P(axis), rep_s=P(axis), rep_e=P(axis), rep_n=P(axis),
+            rep_len_sum=P(axis), n_frag=P(axis), whole=P(axis),
+            char_start=P(axis), char_len=P(axis), star=P(axis),
+            last=P(axis), ov=P(axis), frag_valid=P(axis),
+            global_rep_len=P())
+        return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
+                             out_specs=out_specs)(lens, ev_row, ev_lo, ev_hi)
+
+    return step

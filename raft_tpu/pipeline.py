@@ -167,12 +167,15 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
 
     prefix = params.outputfilename
+    un = use_native is not False
     with _Timer(stats, "emit_diagnostics"):
-        emit.write_coverage(prefix + ".coverage.txt", params.reso, coverages)
-        emit.write_long_repeats(prefix + ".long_repeats.txt", repeats)
+        emit.write_coverage(prefix + ".coverage.txt", params.reso, coverages,
+                            use_native=un)
+        emit.write_long_repeats(prefix + ".long_repeats.txt", repeats,
+                                use_native=un)
         emit.write_long_repeats_bed(prefix + ".long_repeats.bed", store,
                                     repeats)
     with _Timer(stats, "emit_fasta"):
         stats.n_fragments = emit.write_fragments_fasta(
-            prefix + ".reads.fasta", store, params, frags)
+            prefix + ".reads.fasta", store, params, frags, use_native=un)
     return stats

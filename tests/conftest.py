@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin (if installed) force-overrides jax_platforms to
+# "axon,cpu" at import time, ignoring the env var — override it back so
+# the suite always runs on the 8-virtual-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import pytest

@@ -1,0 +1,138 @@
+"""Unit tests: device kernels vs the exact-semantics oracle on randomized
+and adversarial inputs (fuzz harness for each stage in isolation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raft_tpu import bucketing
+from raft_tpu.engine_jax import (chop_markers, derive_cfg,
+                                 pileup_diff_scatter, repeat_scan)
+from raft_tpu.ops import oracle
+from raft_tpu.params import AlgoParams
+
+
+def rand_case(rng, n_reads=16, max_len=8000, reso=50, max_ev_per_read=30):
+    lens = rng.integers(1, max_len, n_reads).astype(np.int32)
+    ev_read, ev_lo, ev_hi = [], [], []
+    for r in range(n_reads):
+        for _ in range(rng.integers(0, max_ev_per_read)):
+            a = int(rng.integers(0, lens[r]))
+            b = int(rng.integers(a, lens[r]))  # end exclusive <= len
+            ev_read.append(r)
+            ev_lo.append(a)
+            ev_hi.append(b)  # may equal a → zero-length match, hi = a-1
+    ev_read = np.asarray(ev_read, dtype=np.int32)
+    ev_lo = np.asarray(ev_lo, dtype=np.int32)
+    ev_hi = np.asarray(ev_hi, dtype=np.int32) - 1  # inclusive
+    return lens, ev_read, ev_lo, ev_hi
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_pileup_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    params = AlgoParams(est_cov=10, reso=50)
+    lens, ev_read, ev_lo, ev_hi = rand_case(rng)
+    buckets = bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi, 50)
+    got = {}
+    for bk in buckets:
+        cfg = derive_cfg(bk.B, bk.W, bk.E, params)
+        cov = np.asarray(pileup_diff_scatter(
+            jnp.asarray(bk.ev_row), jnp.asarray(bk.ev_lo),
+            jnp.asarray(bk.ev_hi), cfg))
+        for r_local, rid in enumerate(bk.read_ids):
+            nw = oracle.n_windows(int(lens[rid]), 50)
+            got[rid] = cov[r_local, :nw]
+    for r in range(len(lens)):
+        m = ev_read == r
+        want = oracle.coverage_one_read(int(lens[r]), 50, ev_lo[m], ev_hi[m])
+        np.testing.assert_array_equal(got[r], want, err_msg=f"read {r}")
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("rl,flank", [(500, 100), (50, 0), (200, 5000)])
+def test_repeat_scan_matches_oracle(seed, rl, flank):
+    rng = np.random.default_rng(100 + seed)
+    reso = 50
+    params = AlgoParams(est_cov=4, cov_mul=1.5, repeat_length=rl,
+                        interval_length=max(rl, 1), read_length=2 * max(rl, 1),
+                        flanking_length=flank, reso=reso)
+    n, W = 12, 128
+    lens = rng.integers(1, W * reso, n).astype(np.int32)
+    B = 16
+    cov_host = np.zeros((B, W), dtype=np.int32)
+    for r in range(n):
+        nw = oracle.n_windows(int(lens[r]), reso)
+        # blocks of high coverage to create runs, incl. at read ends
+        cov_host[r, :nw] = rng.integers(0, 10, nw)
+    lens_b = np.zeros(B, dtype=np.int32)
+    lens_b[:n] = lens
+    cfg = derive_cfg(B, W, 64, params)
+    rep_s, rep_e, rep_n, rls = repeat_scan(
+        jnp.asarray(cov_host), jnp.asarray(lens_b), cfg)
+    rep_s, rep_e, rep_n, rls = map(np.asarray, (rep_s, rep_e, rep_n, rls))
+    for r in range(n):
+        nw = oracle.n_windows(int(lens[r]), reso)
+        want = oracle.repeats_one_read(
+            cov_host[r, :nw], int(lens[r]), reso, params.high_cov, rl, flank)
+        k = int(rep_n[r])
+        assert k <= cfg.K
+        got = list(zip(rep_s[r, :k].tolist(), rep_e[r, :k].tolist()))
+        assert got == want.intervals, f"read {r}"
+        assert int(rls[r]) == want.repeat_length_sum
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("il,l,ov", [(1000, 2000, 200), (1000, 3000, 0),
+                                     (500, 4000, 100)])
+def test_chop_matches_oracle(seed, il, l, ov):
+    rng = np.random.default_rng(200 + seed)
+    params = AlgoParams(est_cov=10, interval_length=il, repeat_length=il,
+                        read_length=l, overlap_length=ov)
+    B = 16
+    n = 13
+    maxlen = 12000
+    lens = np.zeros(B, dtype=np.int32)
+    lens[:n] = rng.integers(0, maxlen, n)
+    W = -(-maxlen // params.reso)
+    cfg = derive_cfg(B, 1 << int(np.ceil(np.log2(W))), 64, params)
+    # random repeat slots per read (sorted, possibly overlapping)
+    rep_s = np.full((B, cfg.K), 1, dtype=np.int32)
+    rep_e = np.zeros((B, cfg.K), dtype=np.int32)
+    reps_host = [[] for _ in range(B)]
+    for r in range(n):
+        kk = int(rng.integers(0, min(cfg.K, 4)))
+        ivs = []
+        for _ in range(kk):
+            s = int(rng.integers(0, max(lens[r], 1)))
+            e = int(rng.integers(s, max(lens[r], 1)))
+            ivs.append((s, e))
+        ivs.sort()
+        for j, (s, e) in enumerate(ivs):
+            rep_s[r, j] = s
+            rep_e[r, j] = e
+        reps_host[r] = ivs
+    out = chop_markers(jnp.asarray(lens), jnp.asarray(rep_s),
+                       jnp.asarray(rep_e), cfg)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for r in range(n):
+        L = int(lens[r])
+        stars = oracle.markers_one_read(L, il)
+        finals = oracle.surviving_markers(stars, reps_host[r])
+        want = oracle.chop_one_read(L, finals, l, il, ov)
+        nf = int(out["n_frag"][r])
+        assert nf == len(want), f"read {r}: {nf} != {len(want)}"
+        if out["whole"][r]:
+            assert len(want) == 1 and want[0].whole
+        else:
+            for f in range(nf):
+                wf = want[f]
+                assert not wf.whole
+                assert int(out["char_start"][r, f]) == wf.char_start
+                assert int(out["char_len"][r, f]) == wf.char_len
+                assert int(out["star"][r, f]) == wf.star
+                assert int(out["last"][r, f]) == wf.last
+                assert int(out["ov"][r, f]) == wf.ov

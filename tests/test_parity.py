@@ -25,9 +25,10 @@ def run_reference(ref_bin, args, cwd):
     return res.stdout
 
 
-def run_ours(args, engine="oracle"):
+def run_ours(args, engine="oracle", io="python"):
     from raft_tpu import cli
-    rc = cli.main(args + ["--engine", engine, "--pure-python-io"])
+    extra = ["--pure-python-io"] if io == "python" else []
+    rc = cli.main(args + ["--engine", engine] + extra)
     assert rc == 0
 
 
@@ -65,6 +66,7 @@ def _engines():
     return ["oracle", "jax"]
 
 
+@pytest.mark.parametrize("io", ["python", "native"])
 @pytest.mark.parametrize("engine", _engines())
 @pytest.mark.parametrize("mode", [
     dict(),
@@ -75,7 +77,7 @@ def _engines():
     dict(fastq=True),
     dict(multiline=True),
 ])
-def test_parity_modes(tmp_path, ref_binary, engine, mode):
+def test_parity_modes(tmp_path, ref_binary, engine, mode, io):
     tmp = str(tmp_path)
     import zlib
     seed = zlib.crc32(str(sorted(mode.items())).encode()) % 10000
@@ -84,7 +86,7 @@ def test_parity_modes(tmp_path, ref_binary, engine, mode):
     ref_prefix = f"{tmp}/ref"
     our_prefix = f"{tmp}/ours"
     run_reference(ref_binary, args + ["-o", ref_prefix, reads, paf], tmp)
-    run_ours(args + ["-o", our_prefix, reads, paf], engine=engine)
+    run_ours(args + ["-o", our_prefix, reads, paf], engine=engine, io=io)
     assert_parity(tmp, ref_prefix, our_prefix)
 
 
