@@ -364,6 +364,74 @@ int raftio_emit_frags(const char* path, const char* seq_blob,
   return 0;
 }
 
+// Fragment FASTA with in-C++ header rendering (chop.hpp:250-321).
+// All header fields derive from char_start/char_len (see
+// raft_tpu/result.py); name/align/suffix text arrives as blobs with
+// [n+1] offsets. name offsets include a trailing NUL per name
+// (len = off[i+1]-off[i]-1); align/suffix offsets are exact.
+int raftio_emit_frags_full(
+    const char* path, const char* seq_blob, const int64_t* seq_off,
+    int64_t n_frags, const int32_t* frag_read, const int64_t* char_start,
+    const int64_t* char_len, const uint8_t* whole, int real_reads,
+    const char* name_blob, const int64_t* name_off,
+    const uint8_t* align_code, const int64_t* start_pos,
+    const int64_t* end_pos, const char* align_blob,
+    const int64_t* align_off, const char* suffix_blob,
+    const int64_t* suffix_off) {
+  BufWriter w(path);
+  if (!w.ok()) return -1;
+  for (int64_t j = 0; j < n_frags; j++) {
+    int64_t i = frag_read[j];
+    int64_t cs = char_start[j];
+    int64_t cl = char_len[j];
+    int64_t num = j + 1;
+    if (real_reads) {
+      w.put(">read=", 6);
+      w.putint(num);
+      w.putc(',');
+      w.put(name_blob + name_off[i],
+            static_cast<size_t>(name_off[i + 1] - name_off[i] - 1));
+      w.put(",pos_on_original_read=", 22);
+      w.putint(cs);
+      w.putc('-');
+      w.putint(cs + cl);
+      w.putc('\n');
+    } else {
+      uint8_t ac = align_code[i];
+      bool wh = whole[j] != 0;
+      if (wh || ac == 0 || ac == 1) {
+        w.put(">read=", 6);
+        w.putint(num);
+        w.putc(',');
+        w.put(align_blob + align_off[i],
+              static_cast<size_t>(align_off[i + 1] - align_off[i]));
+        w.put(",position=", 10);
+        if (wh) {
+          w.putint(start_pos[i]);
+          w.putc('-');
+          w.putint(end_pos[i]);
+        } else if (ac == 0) {  // forward
+          w.putint(start_pos[i] + cs);
+          w.putc('-');
+          w.putint(start_pos[i] + cs + cl);
+        } else {  // reverse
+          w.putint(end_pos[i] - cs - cl);
+          w.putc('-');
+          w.putint(end_pos[i] - cs);
+        }
+        w.put(",length=", 8);
+        w.putint(cl);
+        w.put(suffix_blob + suffix_off[i],
+              static_cast<size_t>(suffix_off[i + 1] - suffix_off[i]));
+        w.putc('\n');
+      }
+    }
+    w.put(seq_blob + seq_off[i] + cs, static_cast<size_t>(cl));
+    w.putc('\n');
+  }
+  return 0;
+}
+
 // coverage.txt: "read {i} " + "{w*reso},{cov} " per window + "\n"
 // cov values for read i are cov[cov_off[i] .. cov_off[i+1])
 int raftio_emit_coverage(const char* path, const int32_t* cov,

@@ -47,7 +47,8 @@ def _stod(s: str) -> float:
     return float(m.group(0))
 
 
-def print_help(params: AlgoParams, out=sys.stdout) -> None:
+def print_help(params: AlgoParams, out=None) -> None:
+    out = out if out is not None else sys.stdout
     cm = f"{params.cov_mul:g}"
     out.write("Usage: raft [options] <input-reads.fa> <in.paf>\n")
     out.write(f"  -r NUM     resolution of coverage {params.reso}\n")

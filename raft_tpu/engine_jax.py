@@ -215,11 +215,9 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
     whole_b = whole[:, None]
     char_start = jnp.where(whole_b, 0, star_f - ov_f)
     char_len = jnp.where(whole_b, lens[:, None], last_f - star_f + ov_f)
-    frag_valid = fi < n_frag[:, None]
 
     return dict(n_frag=n_frag, whole=whole, char_start=char_start,
-                char_len=char_len, star=star_f, last=last_f, ov=ov_f,
-                frag_valid=frag_valid)
+                char_len=char_len)
 
 
 # ---------------------------------------------------------------------------
@@ -249,11 +247,33 @@ def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
 # Host driver: buckets in, per-read results out
 # ---------------------------------------------------------------------------
 
+def _cumsum0(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def _slab_copy_idx(cnt: np.ndarray, src_start: np.ndarray,
+                   dst_start: np.ndarray):
+    """Vectorized variable-length slab copy index arrays: returns
+    (src_idx, dst_idx) such that dst[dst_idx] = src[src_idx] copies
+    cnt[i] consecutive items from src_start[i] to dst_start[i]."""
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    off = _cumsum0(cnt)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(off[:-1], cnt)
+    return (np.repeat(np.asarray(src_start, np.int64), cnt) + within,
+            np.repeat(np.asarray(dst_start, np.int64), cnt) + within)
+
+
 def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 strict: bool = True, use_pallas: bool = False,
-                mesh=None, donate: bool = True):
-    """JAX engine with the same contract as ``pipeline.compute_oracle``."""
-    from raft_tpu.pipeline import RunStats
+                mesh=None) -> "ComputeResult":
+    """JAX engine: device batches in, flat ComputeResult out (no per-read
+    Python loops anywhere)."""
+    from raft_tpu.result import ComputeResult
 
     n = store.n_reads
     lens = store.lens.astype(np.int32)
@@ -264,12 +284,6 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     buckets = bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi,
                                      params.reso)
 
-    coverages: list = [None] * n
-    repeats_per_read: list = [None] * n
-    frags_per_read: list = [None] * n
-    stats = RunStats()
-    stats.total_read_length = int(lens.astype(np.int64).sum())
-
     step = device_step
     n_shards = 1
     if mesh is not None:
@@ -277,6 +291,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         step = sharded_device_step(mesh)
         n_shards = mesh.devices.size
 
+    outs = []
     for bk in buckets:
         if n_shards > 1:
             from raft_tpu.parallel.mesh import shard_bucket
@@ -286,11 +301,66 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                          use_pallas=use_pallas)
         out = step(jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
                    jnp.asarray(bk.ev_lo), jnp.asarray(bk.ev_hi), cfg=cfg)
-        out = jax.device_get(out)
-        _unbatch(bk, out, params, coverages, repeats_per_read,
-                 frags_per_read, stats)
+        outs.append((bk, out))
+    # fetch after all dispatches (device runs async while host routes)
+    outs = [(bk, jax.device_get(out)) for bk, out in outs]
 
-    return coverages, repeats_per_read, frags_per_read, stats
+    # global offsets in read-id order
+    reso = params.reso
+    nw_all = (-(-lens.astype(np.int64) // reso))
+    cov_off = _cumsum0(nw_all)
+    rep_n_all = np.zeros(n, dtype=np.int64)
+    frag_n_all = np.zeros(n, dtype=np.int64)
+    total_rep_len = 0
+    for bk, out in outs:
+        nu = bk.n_used
+        rep_n_all[bk.read_ids] = out["rep_n"][:nu]
+        frag_n_all[bk.read_ids] = out["n_frag"][:nu]
+        total_rep_len += int(out["rep_len_sum"][:nu].astype(np.int64).sum())
+    rep_off = _cumsum0(rep_n_all)
+    frag_off = _cumsum0(frag_n_all)
+
+    cov_flat = np.empty(int(cov_off[-1]), dtype=np.int32)
+    rep_s = np.empty(int(rep_off[-1]), dtype=np.int32)
+    rep_e = np.empty(int(rep_off[-1]), dtype=np.int32)
+    n_frags = int(frag_off[-1])
+    frag_read = np.empty(n_frags, dtype=np.int32)
+    frag_cs = np.empty(n_frags, dtype=np.int64)
+    frag_cl = np.empty(n_frags, dtype=np.int64)
+    frag_wh = np.empty(n_frags, dtype=bool)
+
+    for bk, out in outs:
+        nu = bk.n_used
+        rid = bk.read_ids
+        rows = np.arange(nu, dtype=np.int64)
+        W = out["cov"].shape[1]
+        s_idx, d_idx = _slab_copy_idx(nw_all[rid], rows * W, cov_off[rid])
+        cov_flat[d_idx] = out["cov"].ravel()[s_idx]
+
+        K = out["rep_s"].shape[1]
+        s_idx, d_idx = _slab_copy_idx(rep_n_all[rid], rows * K, rep_off[rid])
+        rep_s[d_idx] = out["rep_s"].ravel()[s_idx]
+        rep_e[d_idx] = out["rep_e"].ravel()[s_idx]
+
+        F = out["char_start"].shape[1]
+        cnt = frag_n_all[rid]
+        s_idx, d_idx = _slab_copy_idx(cnt, rows * F, frag_off[rid])
+        frag_cs[d_idx] = out["char_start"].ravel()[s_idx]
+        frag_cl[d_idx] = out["char_len"].ravel()[s_idx]
+        frag_read[d_idx] = np.repeat(rid, cnt)
+        frag_wh[d_idx] = np.repeat(out["whole"][:nu], cnt)
+
+    return ComputeResult(
+        n_reads=n,
+        cov_flat=cov_flat, cov_off=cov_off,
+        rep_s=rep_s, rep_e=rep_e, rep_off=rep_off,
+        frag_read=frag_read, frag_char_start=frag_cs,
+        frag_char_len=frag_cl, frag_whole=frag_wh,
+        total_coverage=int(cov_flat.sum(dtype=np.int64)),
+        total_windows=int(nw_all.sum()),
+        total_repeat_length=total_rep_len,
+        total_read_length=int(lens.astype(np.int64).sum()),
+    )
 
 
 def _validate_events(lens, ev_read, ev_lo, ev_hi, reso):
@@ -302,43 +372,3 @@ def _validate_events(lens, ev_read, ev_lo, ev_hi, reso):
             "overlap interval exceeds read bounds (reference RAFT has an "
             "unchecked buffer overrun here, repeat.hpp:69-73); "
             "fix the PAF or run with --no-strict")
-
-
-def _unbatch(bk: bucketing.Bucket, out: dict, params: AlgoParams,
-             coverages, repeats_per_read, frags_per_read, stats):
-    """Scatter device batch results back to per-read host structures."""
-    reso = params.reso
-    cov = out["cov"]
-    rep_s, rep_e, rep_n = out["rep_s"], out["rep_e"], out["rep_n"]
-    n_frag = out["n_frag"]
-    whole = out["whole"]
-    char_start = out["char_start"]
-    char_len = out["char_len"]
-    star = out["star"]
-    last = out["last"]
-    ov = out["ov"]
-
-    nu = bk.n_used
-    stats.total_coverage += int(cov[:nu].sum(dtype=np.int64))
-    stats.total_windows += int(
-        (-(-bk.lens[:nu].astype(np.int64) // reso)).sum())
-    stats.total_repeat_length += int(
-        out["rep_len_sum"][:nu].astype(np.int64).sum())
-
-    for r_local, rid in enumerate(bk.read_ids):
-        L = int(bk.lens[r_local])
-        nw = -(-L // reso) if L else 0
-        coverages[rid] = cov[r_local, :nw]
-        k = int(rep_n[r_local])
-        repeats_per_read[rid] = list(zip(rep_s[r_local, :k].tolist(),
-                                         rep_e[r_local, :k].tolist()))
-        nf = int(n_frag[r_local])
-        if whole[r_local]:
-            frags_per_read[rid] = [Fragment(0, L, 0, L, 0, True)]
-        else:
-            frags_per_read[rid] = [
-                Fragment(int(char_start[r_local, f]),
-                         int(char_len[r_local, f]),
-                         int(star[r_local, f]), int(last[r_local, f]),
-                         int(ov[r_local, f]), False)
-                for f in range(nf)]

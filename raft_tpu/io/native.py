@@ -83,10 +83,17 @@ def _configure(lib):
 
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.raftio_emit_frags.restype = C.c_int
-    lib.raftio_emit_frags.argtypes = [
-        C.c_char_p, C.c_void_p, P(C.c_int64), i32p, i64p, i64p,
-        C.c_int64, C.c_char_p, i64p]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.raftio_emit_frags_full.restype = C.c_int
+    lib.raftio_emit_frags_full.argtypes = [
+        C.c_char_p,              # path
+        C.c_void_p, i64p,        # seq blob + offsets
+        C.c_int64, i32p, i64p, i64p, u8p,   # frags
+        C.c_int,                 # real_reads
+        C.c_char_p, i64p,        # name blob + offsets (NUL-terminated names)
+        C.c_void_p, C.c_void_p, C.c_void_p,   # align_code, start, end
+        C.c_char_p, C.c_void_p,  # align blob + off
+        C.c_char_p, C.c_void_p]  # suffix blob + off
     lib.raftio_emit_coverage.restype = C.c_int
     lib.raftio_emit_coverage.argtypes = [
         C.c_char_p, i32p, i64p, C.c_int64, C.c_int32]
@@ -200,40 +207,96 @@ def emit_available() -> bool:
     return _get_lib() is not None
 
 
-def emit_frags(path: str, store, frag_read: np.ndarray,
-               char_start: np.ndarray, char_len: np.ndarray,
-               headers: list[str | None]) -> bool:
-    """Native fragment-FASTA writer. ``headers[i] is None`` → no header
-    line (the reference's headerless simulated-mode fallthrough)."""
+def _name_blob0(store):
+    """NUL-terminated joined name blob + [n+1] offsets (cached).
+
+    For natively-loaded stores this reuses the C-side layout; for
+    Python-loaded stores it is built once with a single join.
+    """
+    blob = getattr(store, "_name_blob0", None)
+    if blob is None:
+        blob = ("\0".join(store.names) + "\0").encode("ascii") \
+            if store.names else b""
+        store._name_blob0 = blob
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    off = np.zeros(len(store.names) + 1, dtype=np.int64)
+    if len(blob):
+        off[1:] = np.flatnonzero(arr == 0) + 1
+    return blob, off
+
+
+def _seq_ptr(lib, store):
+    h = getattr(store, "_native_handle", None)
+    if h is not None and h._ptr is not None:
+        return lib.rf_seq_blob(h._ptr)
+    blob = store.seq_blob
+    if isinstance(blob, np.ndarray):
+        return blob.ctypes.data
+    return C.cast(C.c_char_p(blob), C.c_void_p)
+
+
+def emit_frags_full(path: str, store, res) -> bool:
+    """Native fragment-FASTA writer with in-C++ header rendering."""
     lib = _get_lib()
     if lib is None:
         return False
-    h = getattr(store, "_native_handle", None)
-    hdr_blob = bytearray()
-    hdr_off = np.empty(len(headers) + 1, dtype=np.int64)
-    hdr_off[0] = 0
-    for i, hd in enumerate(headers):
-        if hd:
-            hdr_blob += hd.encode("ascii")
-        hdr_off[i + 1] = len(hdr_blob)
-
+    n = store.n_reads
+    name_blob, name_off = _name_blob0(store)
     seq_off = np.ascontiguousarray(store.seq_off, dtype=np.int64)
-    if h is not None and h._ptr is not None:
-        seq_ptr = lib.rf_seq_blob(h._ptr)
+    whole_u8 = np.ascontiguousarray(res.frag_whole, dtype=np.uint8)
+
+    if store.real_reads:
+        align_code = start = end = align_off = suffix_off = None
+        align_blob = suffix_blob = b""
+        ac_ptr = sp_ptr = ep_ptr = ao_ptr = so_ptr = None
     else:
-        blob = store.seq_blob
-        if isinstance(blob, np.ndarray):
-            seq_ptr = blob.ctypes.data
-        else:
-            seq_ptr = C.cast(C.c_char_p(blob), C.c_void_p)
-    rc = lib.raftio_emit_frags(
-        path.encode(), seq_ptr,
-        seq_off.ctypes.data_as(C.POINTER(C.c_int64)),
-        np.ascontiguousarray(frag_read, dtype=np.int32),
-        np.ascontiguousarray(char_start, dtype=np.int64),
-        np.ascontiguousarray(char_len, dtype=np.int64),
-        len(headers), bytes(hdr_blob), hdr_off)
+        sim = _sim_blobs(store)
+        align_code, align_blob, align_off, suffix_blob, suffix_off = sim
+        start = np.ascontiguousarray(store.start_pos, dtype=np.int64)
+        end = np.ascontiguousarray(store.end_pos, dtype=np.int64)
+        ac_ptr = align_code.ctypes.data
+        sp_ptr = start.ctypes.data
+        ep_ptr = end.ctypes.data
+        ao_ptr = align_off.ctypes.data
+        so_ptr = suffix_off.ctypes.data
+
+    rc = lib.raftio_emit_frags_full(
+        path.encode(), _seq_ptr(lib, store), seq_off,
+        res.n_frags,
+        np.ascontiguousarray(res.frag_read, dtype=np.int32),
+        np.ascontiguousarray(res.frag_char_start, dtype=np.int64),
+        np.ascontiguousarray(res.frag_char_len, dtype=np.int64),
+        whole_u8, int(store.real_reads),
+        name_blob, name_off,
+        ac_ptr, sp_ptr, ep_ptr,
+        align_blob, ao_ptr, suffix_blob, so_ptr)
     return rc == 0
+
+
+def _sim_blobs(store):
+    """Per-read align-text and header-suffix blobs for simulated mode
+    (cached on the store; Python loop is simulated-mode only)."""
+    cached = getattr(store, "_sim_blobs", None)
+    if cached is not None:
+        return cached
+    n = store.n_reads
+    align_code = np.empty(n, dtype=np.uint8)
+    align_off = np.zeros(n + 1, dtype=np.int64)
+    suffix_off = np.zeros(n + 1, dtype=np.int64)
+    align_parts = []
+    suffix_parts = []
+    for i, nm in enumerate(store.names):
+        al = store.align[i]
+        align_code[i] = 0 if al == "forward" else 1 if al == "reverse" else 2
+        align_parts.append(al)
+        align_off[i + 1] = align_off[i] + len(al)
+        sfx = nm[nm.rfind(","):]
+        suffix_parts.append(sfx)
+        suffix_off[i + 1] = suffix_off[i] + len(sfx)
+    out = (align_code, "".join(align_parts).encode("ascii"), align_off,
+           "".join(suffix_parts).encode("ascii"), suffix_off)
+    store._sim_blobs = out
+    return out
 
 
 def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,

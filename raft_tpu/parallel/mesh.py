@@ -96,8 +96,7 @@ def sharded_device_step(mesh: Mesh):
         out_specs = dict(
             cov=P(axis), rep_s=P(axis), rep_e=P(axis), rep_n=P(axis),
             rep_len_sum=P(axis), n_frag=P(axis), whole=P(axis),
-            char_start=P(axis), char_len=P(axis), star=P(axis),
-            last=P(axis), ov=P(axis), frag_valid=P(axis),
+            char_start=P(axis), char_len=P(axis),
             global_rep_len=P())
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
                              out_specs=out_specs)(lens, ev_row, ev_lo, ev_hi)

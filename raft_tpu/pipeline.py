@@ -143,22 +143,24 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 
     with _Timer(stats, "compute"):
         if engine == "oracle":
+            from raft_tpu.result import from_per_read_lists
             coverages, repeats, frags, cstats = compute_oracle(
                 store, table, params, strict=strict)
+            res = from_per_read_lists(store.n_reads, coverages, repeats,
+                                      frags, cstats)
         elif engine == "jax":
             from raft_tpu.engine_jax import compute_jax
-            coverages, repeats, frags, cstats = compute_jax(
-                store, table, params, strict=strict)
+            res = compute_jax(store, table, params, strict=strict)
         else:
             raise ValueError(f"unknown engine {engine!r}")
 
     stats.n_reads = store.n_reads
     stats.n_paf_rows = table.n_rows
     stats.symmetric = table.symmetric
-    stats.total_coverage = cstats.total_coverage
-    stats.total_windows = cstats.total_windows
-    stats.total_repeat_length = cstats.total_repeat_length
-    stats.total_read_length = cstats.total_read_length
+    stats.total_coverage = res.total_coverage
+    stats.total_windows = res.total_windows
+    stats.total_repeat_length = res.total_repeat_length
+    stats.total_read_length = res.total_read_length
 
     if verbose:
         print(f"coverage per window is {stats.coverage_per_window:f} ")
@@ -169,13 +171,12 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     prefix = params.outputfilename
     un = use_native is not False
     with _Timer(stats, "emit_diagnostics"):
-        emit.write_coverage(prefix + ".coverage.txt", params.reso, coverages,
+        emit.write_coverage(prefix + ".coverage.txt", params.reso, res,
                             use_native=un)
-        emit.write_long_repeats(prefix + ".long_repeats.txt", repeats,
+        emit.write_long_repeats(prefix + ".long_repeats.txt", res,
                                 use_native=un)
-        emit.write_long_repeats_bed(prefix + ".long_repeats.bed", store,
-                                    repeats)
+        emit.write_long_repeats_bed(prefix + ".long_repeats.bed", store, res)
     with _Timer(stats, "emit_fasta"):
         stats.n_fragments = emit.write_fragments_fasta(
-            prefix + ".reads.fasta", store, params, frags, use_native=un)
+            prefix + ".reads.fasta", store, params, res, use_native=un)
     return stats

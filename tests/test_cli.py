@@ -1,0 +1,154 @@
+"""CLI flag-surface parity: the getopt quirks (SURVEY.md §5) and the
+stdout INFO-line format, checked against the reference binary."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+import datagen
+
+
+def _case(tmp_path):
+    return datagen.standard_case(seed=31337, tmpdir=str(tmp_path),
+                                 n_reads=12, len_lo=500, len_hi=9000,
+                                 n_pairs=40)
+
+
+def run_ref(ref_binary, args, cwd):
+    return subprocess.run([ref_binary] + args, cwd=cwd,
+                          capture_output=True, text=True, timeout=120)
+
+
+def run_ours(args, cwd):
+    from raft_tpu import cli
+    old = os.getcwd()
+    os.chdir(cwd)
+    buf = io.StringIO()
+    try:
+        stdout_old = sys.stdout
+        sys.stdout = buf
+        try:
+            rc = cli.main(args + ["--engine", "oracle"])
+        except SystemExit as e:
+            rc = e.code
+        finally:
+            sys.stdout = stdout_old
+    finally:
+        os.chdir(old)
+    return rc, buf.getvalue()
+
+
+def test_v_fallthrough_sets_prefix(tmp_path, ref_binary):
+    """-v NUM also sets the output prefix (missing break, main.cpp:51-55)."""
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-p", "2000", "-l", "4000", "-v", "250", reads, paf]
+    r = run_ref(ref_binary, args, str(tmp_path))
+    assert r.returncode == 0
+    assert os.path.exists(tmp_path / "250.reads.fasta")
+    rc, _ = run_ours(args, str(tmp_path))
+    assert rc == 0
+    ours = (tmp_path / "250.reads.fasta").read_bytes()
+    # re-run reference to its own prefix for comparison? identical prefix:
+    # both wrote the same file name — compare with a fresh reference run
+    r = run_ref(ref_binary, args[:-2] + ["-o", "refpfx", reads, paf],
+                str(tmp_path))
+    ref = (tmp_path / "refpfx.reads.fasta").read_bytes()
+    assert ours == ref
+
+
+def test_i_flag_exits_with_help(tmp_path, ref_binary):
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-i", "5000", reads, paf]
+    r = run_ref(ref_binary, args, str(tmp_path))
+    assert r.returncode == 1
+    assert r.stdout.startswith("Usage: raft")
+    rc, out = run_ours(args, str(tmp_path))
+    assert rc == 1
+    assert out.startswith("Usage: raft")
+
+
+def test_missing_est_cov_errors(tmp_path, ref_binary):
+    reads, paf = _case(tmp_path)
+    args = [reads, paf]
+    r = run_ref(ref_binary, args, str(tmp_path))
+    assert r.returncode == 1
+    rc, out = run_ours(args, str(tmp_path))
+    assert rc == 1
+    assert ("estimated coverage must be set properly" in out
+            and "estimated coverage must be set properly" in r.stdout)
+
+
+def test_missing_positionals_help(tmp_path, ref_binary):
+    r = run_ref(ref_binary, ["-e", "10"], str(tmp_path))
+    assert r.returncode == 1 and r.stdout.startswith("Usage")
+    rc, out = run_ours(["-e", "10"], str(tmp_path))
+    assert rc == 1 and out.startswith("Usage")
+
+
+def test_missing_input_file_error(tmp_path, ref_binary):
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-o", "x", "nonexistent.fa", paf]
+    r = run_ref(ref_binary, args, str(tmp_path))
+    assert r.returncode == 1
+    rc, out = run_ours(args, str(tmp_path))
+    assert rc == 1
+    assert "does not exist or is empty" in out
+    assert "does not exist or is empty" in r.stdout
+
+
+def test_stdout_info_lines_match(tmp_path, ref_binary):
+    """All INFO/stat lines match the reference byte-for-byte, except the
+    timing value and the CMD echo (binary path differs)."""
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-m", "1.3", "-p", "2000", "-l", "4000",
+            "-o", "lg", reads, paf]
+    r = run_ref(ref_binary, args, str(tmp_path))
+    assert r.returncode == 0
+    rc, out = run_ours(args, str(tmp_path))
+    assert rc == 0
+
+    def norm(text):
+        lines = []
+        for ln in text.splitlines():
+            if ln.startswith("INFO, main(), program completed"):
+                ln = "INFO, main(), program completed after X seconds"
+            if ln.startswith("INFO, main(), CMD:"):
+                ln = "CMD"
+            lines.append(ln)
+        return lines
+
+    assert norm(r.stdout) == norm(out)
+
+
+def test_atoi_semantics(tmp_path, ref_binary):
+    """C atoi: '50x' parses as 50; both runs must agree byte-for-byte."""
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-r", "75x", "-p", "2000", "-l", "4000"]
+    r = run_ref(ref_binary, args + ["-o", "ra", reads, paf], str(tmp_path))
+    assert r.returncode == 0
+    rc, _ = run_ours(args + ["-o", "oa", reads, paf], str(tmp_path))
+    assert rc == 0
+    assert ((tmp_path / "ra.coverage.txt").read_bytes()
+            == (tmp_path / "oa.coverage.txt").read_bytes())
+
+
+def test_split_naive_parity(tmp_path, ref_split_naive):
+    reads, _ = _case(tmp_path)
+    ref_out = str(tmp_path / "ref_split.fasta")
+    our_out = str(tmp_path / "our_split.fasta")
+    r = subprocess.run([ref_split_naive, reads, ref_out, "3000"],
+                       capture_output=True, timeout=60)
+    assert r.returncode == 0
+    from raft_tpu.tools.split_naive import split_naive
+    split_naive(reads, our_out, 3000)
+    with open(ref_out, "rb") as f:
+        a = f.read()
+    with open(our_out, "rb") as f:
+        b = f.read()
+    assert a == b

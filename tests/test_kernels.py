@@ -133,6 +133,3 @@ def test_chop_matches_oracle(seed, il, l, ov):
                 assert not wf.whole
                 assert int(out["char_start"][r, f]) == wf.char_start
                 assert int(out["char_len"][r, f]) == wf.char_len
-                assert int(out["star"][r, f]) == wf.star
-                assert int(out["last"][r, f]) == wf.last
-                assert int(out["ov"][r, f]) == wf.ov

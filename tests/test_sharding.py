@@ -33,17 +33,21 @@ def test_sharded_matches_single(tmp_path):
     params = _params().replace(real_reads=store.real_reads,
                                symmetric_overlaps=table.symmetric)
 
-    cov1, rep1, fr1, st1 = compute_jax(store, table, params)
+    r1 = compute_jax(store, table, params)
     mesh = make_mesh(8)
-    cov8, rep8, fr8, st8 = compute_jax(store, table, params, mesh=mesh)
+    r8 = compute_jax(store, table, params, mesh=mesh)
 
-    assert st1.total_coverage == st8.total_coverage
-    assert st1.total_windows == st8.total_windows
-    assert st1.total_repeat_length == st8.total_repeat_length
-    for i in range(store.n_reads):
-        np.testing.assert_array_equal(cov1[i], cov8[i])
-        assert rep1[i] == rep8[i]
-        assert fr1[i] == fr8[i]
+    assert r1.total_coverage == r8.total_coverage
+    assert r1.total_windows == r8.total_windows
+    assert r1.total_repeat_length == r8.total_repeat_length
+    np.testing.assert_array_equal(r1.cov_flat, r8.cov_flat)
+    np.testing.assert_array_equal(r1.rep_s, r8.rep_s)
+    np.testing.assert_array_equal(r1.rep_e, r8.rep_e)
+    np.testing.assert_array_equal(r1.rep_off, r8.rep_off)
+    np.testing.assert_array_equal(r1.frag_read, r8.frag_read)
+    np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
+    np.testing.assert_array_equal(r1.frag_char_len, r8.frag_char_len)
+    np.testing.assert_array_equal(r1.frag_whole, r8.frag_whole)
 
 
 def test_sharded_matches_single_smaller_mesh(tmp_path):
@@ -53,10 +57,10 @@ def test_sharded_matches_single_smaller_mesh(tmp_path):
     table = load_paf(paf_path, store)
     params = _params().replace(real_reads=store.real_reads,
                                symmetric_overlaps=table.symmetric)
-    cov1, rep1, fr1, st1 = compute_jax(store, table, params)
+    r1 = compute_jax(store, table, params)
     mesh = make_mesh(4)
-    cov4, rep4, fr4, st4 = compute_jax(store, table, params, mesh=mesh)
-    assert st1.total_repeat_length == st4.total_repeat_length
-    for i in range(store.n_reads):
-        np.testing.assert_array_equal(cov1[i], cov4[i])
-        assert fr1[i] == fr4[i]
+    r4 = compute_jax(store, table, params, mesh=mesh)
+    assert r1.total_repeat_length == r4.total_repeat_length
+    np.testing.assert_array_equal(r1.cov_flat, r4.cov_flat)
+    np.testing.assert_array_equal(r1.frag_char_start, r4.frag_char_start)
+    np.testing.assert_array_equal(r1.frag_char_len, r4.frag_char_len)
