@@ -24,17 +24,35 @@ def _next_pow2(x: int, lo: int = 1) -> int:
     return v
 
 
+def _next_size(x: int, lo: int = 1) -> int:
+    """Next size in the {2^k, 1.5*2^k} ladder: bounds padding waste to 33%
+    while keeping the number of distinct jit shapes logarithmic."""
+    v = lo
+    while v < x:
+        h = v + (v >> 1)
+        if h >= x and (v >> 1) << 1 == v:  # 1.5*2^k only for even v
+            return h
+        v <<= 1
+    return v
+
+
 @dataclasses.dataclass
 class Bucket:
-    """One dense batch of reads plus the events that cover them."""
+    """One dense batch of reads plus the events that cover them.
+
+    Events are pre-binned to window indices (w0 = floor(lo/reso),
+    w1 = floor(hi/reso), hi inclusive; w1 = -1 for empty) and stored in
+    the narrowest dtype that fits (int16 when B and W allow) — host→device
+    transfer bytes are the scarce resource on tunneled TPU links.
+    """
     read_ids: np.ndarray   # int64 [n_used] original read ids (row order)
     B: int                 # padded batch rows
     W: int                 # padded window count
     E: int                 # padded event count
     lens: np.ndarray       # int32 [B] (0 beyond n_used)
-    ev_row: np.ndarray     # int32 [E] row index in batch; B (=drop) when pad
-    ev_lo: np.ndarray      # int32 [E]
-    ev_hi: np.ndarray      # int32 [E] inclusive end
+    ev_row: np.ndarray     # int16/int32 [E] row in batch; B (=drop) when pad
+    ev_w0: np.ndarray      # int16/int32 [E] first window
+    ev_w1: np.ndarray      # int16/int32 [E] last window (inclusive; -1 empty)
     n_used: int = 0
 
 
@@ -63,6 +81,11 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     bounds = np.searchsorted(ev_read_s, np.arange(n + 1))
     ev_counts = np.diff(bounds)
 
+    # pre-bin events to window indices once, globally (vectorized)
+    w0_all = ev_lo_s.astype(np.int32) // reso
+    w1_all = np.where(ev_hi_s < 0, -1,
+                      ev_hi_s.astype(np.int64) // reso).astype(np.int32)
+
     buckets: list[Bucket] = []
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]
@@ -70,28 +93,29 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
         for c0 in range(0, len(rids_all), max_rows):
             rids = rids_all[c0:c0 + max_rows]
             n_used = len(rids)
-            B = _next_pow2(n_used, lo=row_quantum)
+            B = _next_size(n_used, lo=row_quantum)
             W = int(key)
             blens = np.zeros(B, dtype=np.int32)
             blens[:n_used] = lens[rids]
 
             cnt = ev_counts[rids]
             tot = int(cnt.sum())
-            E = _next_pow2(max(tot, 1), lo=64)
-            ev_row_b = np.full(E, B, dtype=np.int32)  # B = dropped sentinel
-            ev_lo_b = np.zeros(E, dtype=np.int32)
-            ev_hi_b = np.full(E, -1, dtype=np.int32)
+            E = _next_size(max(tot, 1), lo=64)
+            dt = np.int16 if (B < 32768 and W < 32768) else np.int32
+            ev_row_b = np.full(E, B, dtype=dt)  # B = dropped sentinel
+            ev_w0_b = np.zeros(E, dtype=dt)
+            ev_w1_b = np.full(E, -1, dtype=dt)
             # gather each read's event slab (vectorized variable-slab copy)
             if tot:
                 out_off = np.concatenate([[0], np.cumsum(cnt)])
                 src = (np.repeat(bounds[rids], cnt)
                        + np.arange(tot) - np.repeat(out_off[:-1], cnt))
                 ev_row_b[:tot] = np.repeat(
-                    np.arange(n_used, dtype=np.int32), cnt)
-                ev_lo_b[:tot] = ev_lo_s[src]
-                ev_hi_b[:tot] = ev_hi_s[src]
+                    np.arange(n_used, dtype=dt), cnt)
+                ev_w0_b[:tot] = w0_all[src]
+                ev_w1_b[:tot] = w1_all[src]
             buckets.append(Bucket(
                 read_ids=rids, B=B, W=W, E=E, lens=blens,
-                ev_row=ev_row_b, ev_lo=ev_lo_b, ev_hi=ev_hi_b,
+                ev_row=ev_row_b, ev_w0=ev_w0_b, ev_w1=ev_w1_b,
                 n_used=n_used))
     return buckets

@@ -102,7 +102,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     """Parse reference-surface args; returns (params, reads, paf, extras)."""
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
-              "profile": False}
+              "profile": False, "pallas": False}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -123,6 +123,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             extras["use_native"] = False
         elif a == "--profile":
             extras["profile"] = True
+        elif a == "--pallas":
+            extras["pallas"] = True
         elif a == "--no-compat-getopt":
             compat_getopt = False
         else:
@@ -186,7 +188,8 @@ def main(argv: list[str] | None = None) -> int:
     from raft_tpu.pipeline import run_pipeline
     stats = run_pipeline(reads_path, paf_path, params,
                          engine=extras["engine"], strict=extras["strict"],
-                         use_native=extras["use_native"])
+                         use_native=extras["use_native"],
+                         use_pallas=extras["pallas"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

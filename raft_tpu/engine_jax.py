@@ -73,6 +73,7 @@ class StaticCfg:
     div: int
     overlap_length: int
     use_pallas: bool = False
+    cov_out: str = "diff8"
 
 
 def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
@@ -98,22 +99,29 @@ def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
 # Stage 1: coverage pileup
 # ---------------------------------------------------------------------------
 
-def pileup_diff_scatter(ev_row, ev_lo, ev_hi, cfg: StaticCfg):
-    """[E] events → [B, W] int32 coverage via diff-array + cumsum."""
-    B, W, reso = cfg.B, cfg.W, cfg.reso
-    w0 = ev_lo // reso
-    w1 = jnp.where(ev_hi < 0, -1, ev_hi // reso)
-    valid = (w1 >= w0) & (ev_row < B)
+def pileup_diff_scatter(ev_row, ev_w0, ev_w1, cfg: StaticCfg):
+    """[E] window-binned events → (cov [B,W] int32, diff [B,W] int32).
+
+    diff is the per-window increment array whose row cumsum is cov; it is
+    what gets shipped back to the host (as int8 when it fits) — transfer
+    bytes, not FLOPs, bound this pipeline on tunneled links.
+    """
+    B, W = cfg.B, cfg.W
+    w0 = ev_w0.astype(jnp.int32)
+    w1 = ev_w1.astype(jnp.int32)
+    row = ev_row.astype(jnp.int32)
+    valid = (w1 >= w0) & (row < B)
     one = valid.astype(jnp.int32)
     stride = W + 1
-    base = ev_row.astype(jnp.int32) * stride
+    base = row * stride
     flat0 = jnp.where(valid, base + w0, B * stride)
     flat1 = jnp.where(valid, base + w1 + 1, B * stride)
     diff = jnp.zeros(B * stride, dtype=jnp.int32)
     diff = diff.at[flat0].add(one, mode="drop")
     diff = diff.at[flat1].add(-one, mode="drop")
-    cov = jnp.cumsum(diff.reshape(B, stride), axis=1)[:, :W]
-    return cov
+    diff = diff.reshape(B, stride)
+    cov = jnp.cumsum(diff, axis=1)[:, :W]
+    return cov, diff[:, :W]
 
 
 # ---------------------------------------------------------------------------
@@ -224,23 +232,34 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
 # Fused device step
 # ---------------------------------------------------------------------------
 
-def device_step_impl(lens, ev_row, ev_lo, ev_hi, cfg: StaticCfg):
+def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
     if cfg.use_pallas:
         from raft_tpu.ops.pileup_pallas import pileup_pallas
-        cov = pileup_pallas(ev_row, ev_lo, ev_hi, cfg)
+        cov = pileup_pallas(ev_row, ev_w0, ev_w1, cfg)
+        diff = jnp.diff(cov, axis=1, prepend=0)
     else:
-        cov = pileup_diff_scatter(ev_row, ev_lo, ev_hi, cfg)
+        cov, diff = pileup_diff_scatter(ev_row, ev_w0, ev_w1, cfg)
     rep_s, rep_e, rep_n, rep_len_sum = repeat_scan(cov, lens, cfg)
     frags = chop_markers(lens, rep_s, rep_e, cfg)
 
-    return dict(cov=cov, rep_s=rep_s, rep_e=rep_e, rep_n=rep_n,
-                rep_len_sum=rep_len_sum, **frags)
+    out = dict(rep_s=rep_s, rep_e=rep_e, rep_n=rep_n,
+               rep_len_sum=rep_len_sum, **frags)
+    if cfg.cov_out == "diff8":
+        # int8 transfer with per-row overflow check; the host falls back
+        # to the int32 variant for buckets where a window gains/loses
+        # more than 127 intervals (vanishingly rare pileups)
+        ok8 = (jnp.max(diff, axis=1) <= 127) & (jnp.min(diff, axis=1) >= -128)
+        out["diff8"] = diff.astype(jnp.int8)
+        out["ok8"] = ok8
+    else:
+        out["cov"] = cov
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def device_step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
-    return device_step_impl(lens, ev_row, ev_lo, ev_hi, cfg)
+def device_step(lens, ev_row, ev_w0, ev_w1, *, cfg: StaticCfg):
+    return device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -299,11 +318,25 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         # cfg describes PER-SHARD shapes under shard_map
         cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards, params,
                          use_pallas=use_pallas)
-        out = step(jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
-                   jnp.asarray(bk.ev_lo), jnp.asarray(bk.ev_hi), cfg=cfg)
-        outs.append((bk, out))
+        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
+                jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+        out = step(*args, cfg=cfg)
+        outs.append((bk, cfg, args, out))
     # fetch after all dispatches (device runs async while host routes)
-    outs = [(bk, jax.device_get(out)) for bk, out in outs]
+    fetched = []
+    for bk, cfg, args, out in outs:
+        out = jax.device_get(out)
+        if "diff8" in out:
+            if bool(np.all(out["ok8"])):
+                cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
+            else:
+                # rare: a window's increment exceeded int8 — refetch exact
+                cfg32 = dataclasses.replace(cfg, cov_out="int32")
+                out32 = jax.device_get(step(*args, cfg=cfg32))
+                cov = out32["cov"]
+            out["cov"] = cov
+        fetched.append((bk, out))
+    outs = fetched
 
     # global offsets in read-id order
     reso = params.reso

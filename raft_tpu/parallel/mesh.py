@@ -51,26 +51,27 @@ def shard_bucket(bk: bucketing.Bucket, n_shards: int) -> bucketing.Bucket:
 
     valid = bk.ev_row < bk.B
     ev_row = bk.ev_row[valid]
-    ev_lo = bk.ev_lo[valid]
-    ev_hi = bk.ev_hi[valid]
+    ev_w0 = bk.ev_w0[valid]
+    ev_w1 = bk.ev_w1[valid]
     # events are already laid out in row order by make_buckets
     cuts = np.searchsorted(ev_row, np.arange(0, B + B_local, B_local))
     per = np.diff(cuts)
-    E_s = bucketing._next_pow2(max(int(per.max(initial=1)), 1), lo=64)
+    E_s = bucketing._next_size(max(int(per.max(initial=1)), 1), lo=64)
 
-    r = np.full(n_shards * E_s, B_local, dtype=np.int32)
-    lo = np.zeros(n_shards * E_s, dtype=np.int32)
-    hi = np.full(n_shards * E_s, -1, dtype=np.int32)
+    dt = bk.ev_row.dtype
+    r = np.full(n_shards * E_s, B_local, dtype=dt)
+    w0 = np.zeros(n_shards * E_s, dtype=dt)
+    w1 = np.full(n_shards * E_s, -1, dtype=dt)
     for s in range(n_shards):
         a, b = cuts[s], cuts[s + 1]
         o = s * E_s
         r[o:o + (b - a)] = ev_row[a:b] - s * B_local
-        lo[o:o + (b - a)] = ev_lo[a:b]
-        hi[o:o + (b - a)] = ev_hi[a:b]
+        w0[o:o + (b - a)] = ev_w0[a:b]
+        w1[o:o + (b - a)] = ev_w1[a:b]
 
     return bucketing.Bucket(
         read_ids=bk.read_ids, B=B, W=bk.W, E=n_shards * E_s,
-        lens=lens, ev_row=r, ev_lo=lo, ev_hi=hi, n_used=bk.n_used)
+        lens=lens, ev_row=r, ev_w0=w0, ev_w1=w1, n_used=bk.n_used)
 
 
 def sharded_device_step(mesh: Mesh):
@@ -83,9 +84,9 @@ def sharded_device_step(mesh: Mesh):
     axis = mesh.axis_names[0]
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def step(lens, ev_row, ev_lo, ev_hi, *, cfg: StaticCfg):
-        def local(l, er, el, eh):
-            out = device_step_impl(l, er, el, eh, cfg)
+    def step(lens, ev_row, ev_w0, ev_w1, *, cfg: StaticCfg):
+        def local(l, er, ew0, ew1):
+            out = device_step_impl(l, er, ew0, ew1, cfg)
             # global stats ride a psum collective (ICI), matching the
             # reference's global accumulators (repeat.hpp:93-97)
             out["global_rep_len"] = jax.lax.psum(
@@ -93,12 +94,14 @@ def sharded_device_step(mesh: Mesh):
             return out
 
         specs_in = (P(axis), P(axis), P(axis), P(axis))
+        covkeys = (dict(diff8=P(axis), ok8=P(axis))
+                   if cfg.cov_out == "diff8" else dict(cov=P(axis)))
         out_specs = dict(
-            cov=P(axis), rep_s=P(axis), rep_e=P(axis), rep_n=P(axis),
+            rep_s=P(axis), rep_e=P(axis), rep_n=P(axis),
             rep_len_sum=P(axis), n_frag=P(axis), whole=P(axis),
             char_start=P(axis), char_len=P(axis),
-            global_rep_len=P())
+            global_rep_len=P(), **covkeys)
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
-                             out_specs=out_specs)(lens, ev_row, ev_lo, ev_hi)
+                             out_specs=out_specs)(lens, ev_row, ev_w0, ev_w1)
 
     return step

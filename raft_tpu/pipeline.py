@@ -120,6 +120,7 @@ def compute_oracle(store: ReadStore, table: OverlapTable,
 def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  engine: str = "jax", strict: bool = True,
                  verbose: bool = True, use_native: bool | None = None,
+                 use_pallas: bool = False, mesh=None,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files."""
     params.validate()
@@ -150,7 +151,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                                       frags, cstats)
         elif engine == "jax":
             from raft_tpu.engine_jax import compute_jax
-            res = compute_jax(store, table, params, strict=strict)
+            res = compute_jax(store, table, params, strict=strict,
+                              use_pallas=use_pallas, mesh=mesh)
         else:
             raise ValueError(f"unknown engine {engine!r}")
 

@@ -40,9 +40,10 @@ def test_pileup_matches_oracle(seed):
     got = {}
     for bk in buckets:
         cfg = derive_cfg(bk.B, bk.W, bk.E, params)
-        cov = np.asarray(pileup_diff_scatter(
-            jnp.asarray(bk.ev_row), jnp.asarray(bk.ev_lo),
-            jnp.asarray(bk.ev_hi), cfg))
+        cov, _diff = pileup_diff_scatter(
+            jnp.asarray(bk.ev_row), jnp.asarray(bk.ev_w0),
+            jnp.asarray(bk.ev_w1), cfg)
+        cov = np.asarray(cov)
         for r_local, rid in enumerate(bk.read_ids):
             nw = oracle.n_windows(int(lens[rid]), 50)
             got[rid] = cov[r_local, :nw]

@@ -1,0 +1,50 @@
+"""Pallas pileup kernel vs the scatter path and the scalar oracle
+(interpreter mode — runs on the CPU test mesh; the compiled kernel runs
+on real TPU via ``--engine jax --pallas`` / bench)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raft_tpu import bucketing
+from raft_tpu.engine_jax import derive_cfg, pileup_diff_scatter
+from raft_tpu.ops import oracle
+from raft_tpu.ops.pileup_pallas import pileup_pallas
+from raft_tpu.params import AlgoParams
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("n_reads,max_len", [(16, 8000), (130, 20000)])
+def test_pallas_matches_scatter(seed, n_reads, max_len):
+    rng = np.random.default_rng(seed)
+    params = AlgoParams(est_cov=10, reso=50)
+    lens = rng.integers(1, max_len, n_reads).astype(np.int32)
+    ev_read, ev_lo, ev_hi = [], [], []
+    for r in range(n_reads):
+        for _ in range(int(rng.integers(0, 40))):
+            a = int(rng.integers(0, lens[r]))
+            b = int(rng.integers(a, lens[r] + 1))
+            ev_read.append(r)
+            ev_lo.append(a)
+            ev_hi.append(b - 1)
+    ev_read = np.asarray(ev_read, dtype=np.int32)
+    order = np.argsort(ev_read, kind="stable")
+    ev_read = ev_read[order]
+    ev_lo = np.asarray(ev_lo, dtype=np.int32)[order]
+    ev_hi = np.asarray(ev_hi, dtype=np.int32)[order]
+
+    for bk in bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi,
+                                     params.reso):
+        cfg = derive_cfg(bk.B, bk.W, bk.E, params)
+        want, _ = pileup_diff_scatter(jnp.asarray(bk.ev_row),
+                                      jnp.asarray(bk.ev_w0),
+                                      jnp.asarray(bk.ev_w1), cfg)
+        if bk.B % min(128, bk.B) or bk.W % 128:
+            continue  # pallas constraint; scatter path covers these
+        got = pileup_pallas(jnp.asarray(bk.ev_row), jnp.asarray(bk.ev_w0),
+                            jnp.asarray(bk.ev_w1), cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"bucket W={bk.W}")
