@@ -377,14 +377,14 @@ int raftio_emit_frags_full(
     const uint8_t* align_code, const int64_t* start_pos,
     const int64_t* end_pos, const char* align_blob,
     const int64_t* align_off, const char* suffix_blob,
-    const int64_t* suffix_off) {
+    const int64_t* suffix_off, int64_t first_read_num) {
   BufWriter w(path);
   if (!w.ok()) return -1;
   for (int64_t j = 0; j < n_frags; j++) {
     int64_t i = frag_read[j];
     int64_t cs = char_start[j];
     int64_t cl = char_len[j];
-    int64_t num = j + 1;
+    int64_t num = first_read_num + j;
     if (real_reads) {
       w.put(">read=", 6);
       w.putint(num);
@@ -436,12 +436,12 @@ int raftio_emit_frags_full(
 // cov values for read i are cov[cov_off[i] .. cov_off[i+1])
 int raftio_emit_coverage(const char* path, const int32_t* cov,
                          const int64_t* cov_off, int64_t n_reads,
-                         int32_t reso) {
+                         int32_t reso, int64_t first_read_index) {
   BufWriter w(path);
   if (!w.ok()) return -1;
   for (int64_t i = 0; i < n_reads; i++) {
     w.put("read ", 5);
-    w.putint(i);
+    w.putint(first_read_index + i);
     w.putc(' ');
     int64_t wstart = 0;
     for (int64_t j = cov_off[i]; j < cov_off[i + 1]; j++) {
@@ -459,12 +459,12 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
 // long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
 int raftio_emit_repeats(const char* path, const int32_t* rep_s,
                         const int32_t* rep_e, const int64_t* rep_off,
-                        int64_t n_reads) {
+                        int64_t n_reads, int64_t first_read_index) {
   BufWriter w(path);
   if (!w.ok()) return -1;
   for (int64_t i = 0; i < n_reads; i++) {
     w.put("read ", 5);
-    w.putint(i);
+    w.putint(first_read_index + i);
     w.put(", ", 2);
     for (int64_t j = rep_off[i]; j < rep_off[i + 1]; j++) {
       w.putint(rep_s[j]);

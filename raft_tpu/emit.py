@@ -28,29 +28,33 @@ from raft_tpu.params import AlgoParams
 
 
 def write_coverage(path: str, reso: int, res: ComputeResult,
-                   use_native: bool = True) -> None:
+                   use_native: bool = True,
+                   first_read_index: int = 0) -> None:
     from raft_tpu.io import native
     if use_native and native.emit_coverage(path, res.cov_flat, res.cov_off,
-                                           res.n_reads, reso):
+                                           res.n_reads, reso,
+                                           first_read_index):
         return
     with open(path, "w", buffering=1 << 20) as f:
         for i in range(res.n_reads):
             cov = res.cov(i)
-            parts = [f"read {i} "]
+            parts = [f"read {first_read_index + i} "]
             parts += [f"{j * reso},{int(c)} " for j, c in enumerate(cov)]
             parts.append("\n")
             f.write("".join(parts))
 
 
 def write_long_repeats(path: str, res: ComputeResult,
-                       use_native: bool = True) -> None:
+                       use_native: bool = True,
+                       first_read_index: int = 0) -> None:
     from raft_tpu.io import native
     if use_native and native.emit_repeats(path, res.rep_s, res.rep_e,
-                                          res.rep_off, res.n_reads):
+                                          res.rep_off, res.n_reads,
+                                          first_read_index):
         return
     with open(path, "w", buffering=1 << 20) as f:
         for i in range(res.n_reads):
-            parts = [f"read {i}, "]
+            parts = [f"read {first_read_index + i}, "]
             parts += [f"{s},{e}    " for (s, e) in res.repeats(i)]
             parts.append("\n")
             f.write("".join(parts))
@@ -111,10 +115,12 @@ def fragment_header(read_num: int, store: ReadStore, i: int,
 
 def write_fragments_fasta(path: str, store: ReadStore, params: AlgoParams,
                           res: ComputeResult,
-                          use_native: bool = True) -> int:
+                          use_native: bool = True,
+                          first_read_num: int = 1) -> int:
     """Emit the fragmented FASTA; returns the number of fragments."""
     from raft_tpu.io import native
-    if use_native and native.emit_frags_full(path, store, res):
+    if use_native and native.emit_frags_full(path, store, res,
+                                             first_read_num):
         return res.n_frags
 
     blob = store.seq_blob
@@ -124,7 +130,7 @@ def write_fragments_fasta(path: str, store: ReadStore, params: AlgoParams,
             i = int(res.frag_read[j])
             cs = int(res.frag_char_start[j])
             cl = int(res.frag_char_len[j])
-            hdr = fragment_header(j + 1, store, i, cs, cl,
+            hdr = fragment_header(first_read_num + j, store, i, cs, cl,
                                   bool(res.frag_whole[j]))
             if hdr is not None:
                 f.write(hdr.encode("ascii"))

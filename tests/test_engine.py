@@ -1,0 +1,86 @@
+"""Engine-level tests: ComputeResult equivalence between engines, and the
+int8 diff-transfer overflow fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raft_tpu.engine_jax import compute_jax
+from raft_tpu.io.fasta import ReadStore
+from raft_tpu.io.paf import OverlapTable
+from raft_tpu.params import AlgoParams
+from raft_tpu.pipeline import compute_oracle
+from raft_tpu.result import from_per_read_lists
+
+
+def _mk_store(lens):
+    blob = b"A" * int(np.sum(lens))
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    return ReadStore(
+        names=[f"r{i}" for i in range(len(lens))],
+        seq_blob=blob, seq_off=off,
+        lens=np.asarray(lens, dtype=np.int32), real_reads=True)
+
+
+def _mk_table(rows):
+    a_id, a_s, a_e, b_id, b_s, b_e = map(
+        lambda x: np.asarray(x, dtype=np.int32), zip(*rows))
+    return OverlapTable(a_id=a_id, b_id=b_id, a_start=a_s, a_end=a_e,
+                       b_start=b_s, b_end=b_e, symmetric=True,
+                       n_names=int(a_id.max()) + 1)
+
+
+def _assert_equal(res_a, res_b):
+    np.testing.assert_array_equal(res_a.cov_flat, res_b.cov_flat)
+    np.testing.assert_array_equal(res_a.cov_off, res_b.cov_off)
+    np.testing.assert_array_equal(res_a.rep_s, res_b.rep_s)
+    np.testing.assert_array_equal(res_a.rep_e, res_b.rep_e)
+    np.testing.assert_array_equal(res_a.frag_read, res_b.frag_read)
+    np.testing.assert_array_equal(res_a.frag_char_start,
+                                  res_b.frag_char_start)
+    np.testing.assert_array_equal(res_a.frag_char_len, res_b.frag_char_len)
+    assert res_a.total_coverage == res_b.total_coverage
+    assert res_a.total_repeat_length == res_b.total_repeat_length
+
+
+def test_int8_overflow_fallback():
+    """>127 intervals starting on the same window forces the int32 refetch
+    path; results must stay exact."""
+    lens = [5000, 3000]
+    rows = [(0, 100, 4000, 1, 0, 3900)] * 200 + [(1, 10, 2900, 0, 5, 2895)]
+    store = _mk_store(lens)
+    table = _mk_table(rows)
+    params = AlgoParams(est_cov=10, repeat_length=1000, interval_length=1000,
+                        read_length=2000)
+    res = compute_jax(store, table, params)
+    # oracle comparison
+    cov, reps, frags, st = compute_oracle(store, table, params)
+    want = from_per_read_lists(2, cov, reps, frags, st)
+    _assert_equal(res, want)
+    # sanity: the engineered pileup really exceeded int8
+    assert res.cov_flat.max() >= 200
+
+
+def test_engines_equal_random():
+    rng = np.random.default_rng(5)
+    lens = rng.integers(100, 20000, 50)
+    rows = []
+    for _ in range(400):
+        a = int(rng.integers(0, 50))
+        b = int(rng.integers(0, 50))
+        qs = int(rng.integers(0, lens[a]))
+        qe = int(rng.integers(qs + 1, lens[a] + 1))
+        ts = int(rng.integers(0, lens[b]))
+        te = int(rng.integers(ts + 1, lens[b] + 1))
+        rows.append((a, qs, qe, b, ts, te))
+    store = _mk_store(lens)
+    table = _mk_table(rows)
+    table.symmetric = False
+    params = AlgoParams(est_cov=3, cov_mul=1.2, repeat_length=500,
+                        interval_length=500, read_length=1500,
+                        flanking_length=120, overlap_length=60)
+    res = compute_jax(store, table, params)
+    cov, reps, frags, st = compute_oracle(store, table, params)
+    want = from_per_read_lists(store.n_reads, cov, reps, frags, st)
+    _assert_equal(res, want)
