@@ -18,6 +18,25 @@ from raft_tpu.params import AlgoParams
 
 @pytest.mark.parametrize("seed", range(3))
 @pytest.mark.parametrize("n_reads,max_len", [(16, 8000), (130, 20000)])
+def test_pallas_multiblock(seed, n_reads, max_len):
+    """Force n_blocks > 1 (the clamped-trailing-block regression) with a
+    dense event set on a 2+-tile batch."""
+    rng = np.random.default_rng(900 + seed)
+    params = AlgoParams(est_cov=10, reso=50)
+    B, W, E = 256, 128, 4096
+    cfg = derive_cfg(B, W, E, params)
+    rows = np.sort(rng.integers(0, B, E)).astype(np.int32)
+    w0 = rng.integers(0, W, E).astype(np.int32)
+    w1 = (w0 + rng.integers(0, W - 1, E)).clip(max=W - 1).astype(np.int32)
+    want, _ = pileup_diff_scatter(jnp.asarray(rows), jnp.asarray(w0),
+                                  jnp.asarray(w1), cfg)
+    got = pileup_pallas(jnp.asarray(rows), jnp.asarray(w0),
+                        jnp.asarray(w1), cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("n_reads,max_len", [(16, 8000), (130, 20000)])
 def test_pallas_matches_scatter(seed, n_reads, max_len):
     rng = np.random.default_rng(seed)
     params = AlgoParams(est_cov=10, reso=50)
