@@ -19,9 +19,14 @@
 #include <cstring>
 #include <regex>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 
 namespace {
@@ -99,7 +104,61 @@ struct Interner {
     map.emplace(std::string(s, n), id);
     return id;
   }
+  // read-only (thread-safe) lookup; -1 if unknown
+  int32_t lookup(const char* s, size_t n) const {
+    auto it = map.find(std::string(s, n));
+    return it == map.end() ? -1 : it->second;
+  }
 };
+
+// Read-only file mapping for the multi-threaded plain-file parsers.
+struct Mapped {
+  const char* p = nullptr;
+  size_t n = 0;
+  int fd = -1;
+  bool ok() const { return p != nullptr; }
+  ~Mapped() {
+    if (p) munmap(const_cast<char*>(p), n);
+    if (fd >= 0) close(fd);
+  }
+};
+
+bool map_file(const char* path, Mapped* m) {
+  m->fd = open(path, O_RDONLY);
+  if (m->fd < 0) return false;
+  struct stat st;
+  if (fstat(m->fd, &st) != 0 || st.st_size == 0) return false;
+  m->n = static_cast<size_t>(st.st_size);
+  void* p = mmap(nullptr, m->n, PROT_READ, MAP_PRIVATE, m->fd, 0);
+  if (p == MAP_FAILED) {
+    m->n = 0;
+    return false;
+  }
+  madvise(p, m->n, MADV_SEQUENTIAL);
+  m->p = static_cast<const char*>(p);
+  return true;
+}
+
+size_t mt_threshold() {
+  const char* env = getenv("RAFT_IO_MT_THRESHOLD");
+  if (env && *env) return static_cast<size_t>(strtoull(env, nullptr, 10));
+  return 1u << 22;
+}
+
+int n_parse_threads() {
+  const char* env = getenv("RAFT_IO_THREADS");
+  if (env && *env) {
+    int v = atoi(env);
+    if (v >= 1) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  if (hc == 0) hc = 4;
+  return static_cast<int>(hc > 16 ? 16 : hc);
+}
+
+inline size_t line_len(const char* s, size_t n) {  // without \r
+  return (n && s[n - 1] == '\r') ? n - 1 : n;
+}
 
 }  // namespace
 
@@ -116,9 +175,150 @@ struct RaftFasta {
   int64_t n = 0;
 };
 
+namespace {
+
+// ---------------------------------------------------------------------------
+// Multi-threaded plain-FASTA parse (mmap + record-aligned byte regions).
+// gz / FASTQ inputs use the streaming single-thread path below.
+// ---------------------------------------------------------------------------
+struct FaLocal {
+  std::vector<char> name_blob;       // names + '\0'
+  std::vector<int64_t> name_len;     // per record (without NUL)
+  std::vector<char> seq_blob;
+  std::vector<int64_t> seq_len;      // per record
+};
+
+size_t fasta_region_start(const char* p, size_t n, size_t lo) {
+  if (lo == 0) return (n && p[0] == '>') ? 0 : fasta_region_start(p, n, 1);
+  const char* q = p + lo - 1;
+  const char* end = p + n;
+  while (q < end) {
+    q = static_cast<const char*>(memchr(q, '\n', end - q));
+    if (!q) return n;
+    if (q + 1 < end && q[1] == '>') return static_cast<size_t>(q + 1 - p);
+    q++;
+  }
+  return n;
+}
+
+void parse_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
+                        FaLocal* out) {
+  size_t i = fasta_region_start(p, n, lo);
+  while (i < hi && i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t hlen = line_len(line, llen);
+    size_t b = 1;
+    while (b < hlen && isspace(static_cast<unsigned char>(line[b]))) b++;
+    size_t e = b;
+    while (e < hlen && !isspace(static_cast<unsigned char>(line[e]))) e++;
+    out->name_blob.insert(out->name_blob.end(), line + b, line + e);
+    out->name_blob.push_back('\0');
+    out->name_len.push_back(static_cast<int64_t>(e - b));
+
+    size_t seq_start = out->seq_blob.size();
+    size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    while (j < n && p[j] != '>') {
+      const char* l2 = p + j;
+      const char* nl2 = static_cast<const char*>(memchr(l2, '\n', n - j));
+      size_t l2len = nl2 ? static_cast<size_t>(nl2 - l2) : n - j;
+      out->seq_blob.insert(out->seq_blob.end(), l2,
+                           l2 + line_len(l2, l2len));
+      j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
+    }
+    out->seq_len.push_back(
+        static_cast<int64_t>(out->seq_blob.size() - seq_start));
+    i = j;
+  }
+}
+
+RaftFasta* load_fasta_threaded(const Mapped& m) {
+  const int T = n_parse_threads();
+  std::vector<FaLocal> locals(T);
+  std::vector<std::thread> threads;
+  const char* p = m.p;
+  const size_t n = m.n;
+  for (int t = 0; t < T; t++) {
+    size_t lo = n * t / T;
+    size_t hi = n * (t + 1) / T;
+    threads.emplace_back(parse_fasta_region, p, n, lo, hi, &locals[t]);
+  }
+  for (auto& th : threads) th.join();
+
+  auto* fa = new RaftFasta();
+  size_t total_names = 0, total_name_bytes = 0, total_seq = 0;
+  for (auto& L : locals) {
+    total_names += L.name_len.size();
+    total_name_bytes += L.name_blob.size();
+    total_seq += L.seq_blob.size();
+  }
+  fa->name_blob.resize(total_name_bytes);
+  fa->seq_blob.resize(total_seq);
+  fa->name_off.reserve(total_names + 1);
+  fa->seq_off.reserve(total_names + 1);
+  fa->name_off.push_back(0);
+  fa->seq_off.push_back(0);
+
+  // parallel copy of blobs into their final offsets
+  {
+    std::vector<size_t> nb_off(T + 1, 0), sb_off(T + 1, 0);
+    for (int t = 0; t < T; t++) {
+      nb_off[t + 1] = nb_off[t] + locals[t].name_blob.size();
+      sb_off[t + 1] = sb_off[t] + locals[t].seq_blob.size();
+    }
+    std::vector<std::thread> cp;
+    for (int t = 0; t < T; t++) {
+      cp.emplace_back([&, t]() {
+        if (!locals[t].name_blob.empty())
+          memcpy(fa->name_blob.data() + nb_off[t], locals[t].name_blob.data(),
+                 locals[t].name_blob.size());
+        if (!locals[t].seq_blob.empty())
+          memcpy(fa->seq_blob.data() + sb_off[t], locals[t].seq_blob.data(),
+                 locals[t].seq_blob.size());
+      });
+    }
+    for (auto& th : cp) th.join();
+  }
+
+  int64_t name_pos = 0, seq_pos = 0;
+  for (auto& L : locals) {
+    for (size_t r = 0; r < L.name_len.size(); r++) {
+      name_pos += L.name_len[r] + 1;
+      seq_pos += L.seq_len[r];
+      fa->name_off.push_back(name_pos);
+      fa->seq_off.push_back(seq_pos);
+    }
+  }
+  fa->n = static_cast<int64_t>(total_names);
+
+  // global first-seen-order interning + the record-0 simulated gate
+  for (int64_t i = 0; i < fa->n; i++) {
+    const char* nm = fa->name_blob.data() + fa->name_off[i];
+    size_t nl = static_cast<size_t>(
+        fa->name_off[i + 1] - fa->name_off[i] - 1);
+    if (i == 0) {
+      static const std::regex sim_re(
+          "^read=[0-9]+,[a-z]+,position=[0-9]+-[0-9]+,length=[0-9]+,(.*)");
+      if (std::regex_match(std::string(nm, nl), sim_re)) fa->real_reads = 0;
+    }
+    fa->interner.intern(nm, nl);
+  }
+  return fa;
+}
+
+}  // namespace
+
 extern "C" {
 
 RaftFasta* raftio_load_fasta(const char* path) {
+  {
+    Mapped m;
+    if (map_file(path, &m) && m.n > mt_threshold() && m.p[0] == '>') {
+      RaftFasta* fa = load_fasta_threaded(m);
+      if (fa) return fa;
+    }
+  }
   LineReader rd(path);
   if (!rd.ok()) return nullptr;
   auto* fa = new RaftFasta();
@@ -205,7 +405,161 @@ struct RaftPaf {
   int64_t n_names = 0;
 };
 
+namespace {
+
+struct PafRow {
+  int32_t a, b, as_, ae, bs, be;
+  bool valid;
+};
+
+inline PafRow parse_paf_line(const char* s, size_t len, const Interner& in) {
+  PafRow r{0, 0, 0, 0, 0, 0, false};
+  const char* col[10];
+  size_t clen[10];
+  int nc = 0;
+  const char* p = s;
+  const char* endp = s + len;
+  while (nc < 10) {
+    const char* t = static_cast<const char*>(memchr(p, '\t', endp - p));
+    col[nc] = p;
+    clen[nc] = (t ? t : endp) - p;
+    nc++;
+    if (!t) break;
+    p = t + 1;
+  }
+  if (nc < 10) return r;  // also requires a 10th column present
+  auto toi = [](const char* q, size_t n) -> int64_t {
+    int64_t v = 0;
+    size_t i = 0;
+    bool neg = false;
+    if (i < n && (q[i] == '-' || q[i] == '+')) neg = (q[i++] == '-');
+    for (; i < n && q[i] >= '0' && q[i] <= '9'; i++)
+      v = v * 10 + (q[i] - '0');
+    return neg ? -v : v;
+  };
+  r.as_ = static_cast<int32_t>(toi(col[2], clen[2]));
+  r.ae = static_cast<int32_t>(toi(col[3], clen[3]));
+  r.bs = static_cast<int32_t>(toi(col[7], clen[7]));
+  r.be = static_cast<int32_t>(toi(col[8], clen[8]));
+  r.a = in.lookup(col[0], clen[0]);
+  r.b = in.lookup(col[5], clen[5]);
+  r.valid = true;
+  return r;
+}
+
+struct PafLocal {
+  std::vector<int32_t> a_id, b_id, a_s, a_e, b_s, b_e;
+  bool mirror = false;
+  int64_t unknown = 0;
+};
+
+void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
+                      const Interner* in, PafRow row0, bool skip_first,
+                      PafLocal* out) {
+  size_t i = lo;
+  if (lo != 0) {
+    const char* q = static_cast<const char*>(memchr(p + lo - 1, '\n',
+                                                    n - (lo - 1)));
+    if (!q) return;
+    i = static_cast<size_t>(q - p) + 1;
+  }
+  bool first_in_region = true;
+  while (i < hi && i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t len = line_len(line, llen);
+    i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    PafRow r = parse_paf_line(line, len, *in);
+    if (!r.valid) continue;
+    if (r.a < 0 || r.b < 0) out->unknown++;
+    bool is_row0 = skip_first && first_in_region;
+    first_in_region = false;
+    if (!is_row0 && r.a >= 0 && r.b >= 0 &&
+        row0.a == r.b && row0.b == r.a && row0.as_ == r.bs &&
+        row0.ae == r.be && row0.bs == r.as_ && row0.be == r.ae)
+      out->mirror = true;
+    out->a_id.push_back(r.a);
+    out->b_id.push_back(r.b);
+    out->a_s.push_back(r.as_);
+    out->a_e.push_back(r.ae);
+    out->b_s.push_back(r.bs);
+    out->b_e.push_back(r.be);
+  }
+}
+
+RaftPaf* load_paf_threaded(const Mapped& m, RaftFasta* fa) {
+  const char* p = m.p;
+  const size_t n = m.n;
+  // row 0 = first valid (>=10 col) row, needed by every thread's mirror test
+  PafRow row0{0, 0, 0, 0, 0, 0, false};
+  {
+    size_t i = 0;
+    while (i < n && !row0.valid) {
+      const char* line = p + i;
+      const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+      size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+      row0 = parse_paf_line(line, line_len(line, llen), fa->interner);
+      i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    }
+    if (!row0.valid || row0.a < 0 || row0.b < 0)
+      return nullptr;  // unknown names in row 0 → streaming path interns
+  }
+
+  const int T = n_parse_threads();
+  std::vector<PafLocal> locals(T);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    size_t lo = n * t / T;
+    size_t hi = n * (t + 1) / T;
+    threads.emplace_back(parse_paf_region, p, n, lo, hi, &fa->interner,
+                         row0, t == 0, &locals[t]);
+  }
+  for (auto& th : threads) th.join();
+
+  int64_t unknown = 0;
+  size_t total = 0;
+  bool mirror = false;
+  for (auto& L : locals) {
+    unknown += L.unknown;
+    total += L.a_id.size();
+    mirror |= L.mirror;
+  }
+  if (unknown) return nullptr;  // fall back: streaming path interns them
+
+  auto* pf = new RaftPaf();
+  auto fill = [&](std::vector<int32_t> RaftPaf::*col,
+                  std::vector<int32_t> PafLocal::*lcol) {
+    (pf->*col).resize(total);
+    size_t off = 0;
+    for (auto& L : locals) {
+      if (!(L.*lcol).empty())
+        memcpy((pf->*col).data() + off, (L.*lcol).data(),
+               (L.*lcol).size() * sizeof(int32_t));
+      off += (L.*lcol).size();
+    }
+  };
+  fill(&RaftPaf::a_id, &PafLocal::a_id);
+  fill(&RaftPaf::b_id, &PafLocal::b_id);
+  fill(&RaftPaf::a_s, &PafLocal::a_s);
+  fill(&RaftPaf::a_e, &PafLocal::a_e);
+  fill(&RaftPaf::b_s, &PafLocal::b_s);
+  fill(&RaftPaf::b_e, &PafLocal::b_e);
+  pf->symmetric = mirror ? 1 : 0;
+  pf->n_names = static_cast<int64_t>(fa->interner.map.size());
+  return pf;
+}
+
+}  // namespace
+
 RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
+  {
+    Mapped m;
+    if (map_file(path, &m) && m.n > mt_threshold()) {
+      RaftPaf* pf = load_paf_threaded(m, fa);
+      if (pf) return pf;
+    }
+  }
   LineReader rd(path);
   if (!rd.ok()) return nullptr;
   auto* pf = new RaftPaf();

@@ -1,0 +1,97 @@
+"""Native I/O equivalence: the C++ parsers (streaming AND multi-threaded
+mmap paths) must produce exactly what the pure-Python parsers produce."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import datagen
+from raft_tpu.io.fasta import _load_reads_py, load_reads
+from raft_tpu.io.paf import _load_paf_py, load_paf
+
+
+def _assert_stores_equal(a, b):
+    assert a.names == b.names
+    assert a.real_reads == b.real_reads
+    np.testing.assert_array_equal(np.asarray(a.lens), np.asarray(b.lens))
+    np.testing.assert_array_equal(np.asarray(a.seq_off),
+                                  np.asarray(b.seq_off))
+    ab = bytes(a.seq_blob) if not isinstance(a.seq_blob, bytes) else a.seq_blob
+    bb = bytes(b.seq_blob) if not isinstance(b.seq_blob, bytes) else b.seq_blob
+    assert ab == bb
+
+
+def _assert_tables_equal(a, b):
+    assert a.symmetric == b.symmetric
+    for col in ("a_id", "b_id", "a_start", "a_end", "b_start", "b_end"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, col)),
+                                      np.asarray(getattr(b, col)),
+                                      err_msg=col)
+
+
+@pytest.mark.parametrize("mode", [
+    dict(), dict(simulated=True), dict(symmetric=True), dict(gz=True),
+    dict(fastq=True), dict(multiline=True),
+])
+def test_native_equals_python(tmp_path, mode):
+    reads_path, paf_path = datagen.standard_case(
+        seed=55, tmpdir=str(tmp_path), n_reads=25, **mode)
+    ns = load_reads(reads_path, use_native=True)
+    ps = _load_reads_py(reads_path)
+    _assert_stores_equal(ns, ps)
+    nt = load_paf(paf_path, ns, use_native=True)
+    pt = _load_paf_py(paf_path, ps)
+    _assert_tables_equal(nt, pt)
+
+
+@pytest.mark.parametrize("mode", [
+    dict(), dict(simulated=True), dict(symmetric=True), dict(multiline=True),
+])
+def test_threaded_equals_python(tmp_path, mode, monkeypatch):
+    """Force the multi-threaded mmap path (threshold 0) on plain files."""
+    monkeypatch.setenv("RAFT_IO_MT_THRESHOLD", "1")
+    monkeypatch.setenv("RAFT_IO_THREADS", "5")
+    reads_path, paf_path = datagen.standard_case(
+        seed=56, tmpdir=str(tmp_path), n_reads=40, **mode)
+    ns = load_reads(reads_path, use_native=True)
+    ps = _load_reads_py(reads_path)
+    _assert_stores_equal(ns, ps)
+    nt = load_paf(paf_path, ns, use_native=True)
+    pt = _load_paf_py(paf_path, ps)
+    _assert_tables_equal(nt, pt)
+
+
+def test_threaded_final_line_no_newline(tmp_path, monkeypatch):
+    monkeypatch.setenv("RAFT_IO_MT_THRESHOLD", "1")
+    monkeypatch.setenv("RAFT_IO_THREADS", "3")
+    rp = str(tmp_path / "r.fasta")
+    with open(rp, "w") as f:
+        f.write(">a\nACGT\nTTTT\n>b x y\nGGGG")  # no trailing newline
+    ns = load_reads(rp, use_native=True)
+    assert ns.names == ["a", "b"]
+    assert bytes(ns.seq_blob) == b"ACGTTTTTGGGG"
+    pp = str(tmp_path / "o.paf")
+    with open(pp, "w") as f:
+        f.write("a\t8\t0\t4\t+\tb\t4\t0\t4\t4\t4\t60")  # no newline
+    nt = load_paf(pp, ns, use_native=True)
+    assert nt.n_rows == 1
+    assert nt.a_id[0] == 0 and nt.b_id[0] == 1
+
+
+def test_threaded_unknown_name_falls_back(tmp_path, monkeypatch):
+    """PAF naming a read absent from the FASTA: the threaded path defers
+    to the streaming interner (reference semantics: new id assigned)."""
+    monkeypatch.setenv("RAFT_IO_MT_THRESHOLD", "1")
+    rp = str(tmp_path / "r.fasta")
+    with open(rp, "w") as f:
+        f.write(">a\nACGTACGT\n")
+    pp = str(tmp_path / "o.paf")
+    with open(pp, "w") as f:
+        f.write("a\t8\t0\t4\t+\tGHOST\t4\t0\t4\t4\t4\t60\n")
+    ns = load_reads(rp, use_native=True)
+    nt = load_paf(pp, ns, use_native=True)
+    assert nt.a_id[0] == 0
+    assert nt.b_id[0] == 1  # interned past the FASTA ids
