@@ -172,13 +172,22 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 
     prefix = params.outputfilename
     un = use_native is not False
-    with _Timer(stats, "emit_diagnostics"):
-        emit.write_coverage(prefix + ".coverage.txt", params.reso, res,
-                            use_native=un)
-        emit.write_long_repeats(prefix + ".long_repeats.txt", res,
-                                use_native=un)
-        emit.write_long_repeats_bed(prefix + ".long_repeats.bed", store, res)
-    with _Timer(stats, "emit_fasta"):
-        stats.n_fragments = emit.write_fragments_fasta(
-            prefix + ".reads.fasta", store, params, res, use_native=un)
+    with _Timer(stats, "emit"):
+        # the four writers touch disjoint files and release the GIL in
+        # the native emitters — run them concurrently
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [
+                ex.submit(emit.write_coverage, prefix + ".coverage.txt",
+                          params.reso, res, un),
+                ex.submit(emit.write_long_repeats,
+                          prefix + ".long_repeats.txt", res, un),
+                ex.submit(emit.write_long_repeats_bed,
+                          prefix + ".long_repeats.bed", store, res),
+                ex.submit(emit.write_fragments_fasta,
+                          prefix + ".reads.fasta", store, params, res, un),
+            ]
+            for f in futs[:-1]:
+                f.result()
+            stats.n_fragments = futs[-1].result()
     return stats
