@@ -102,7 +102,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     """Parse reference-surface args; returns (params, reads, paf, extras)."""
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
-              "profile": False, "pallas": False}
+              "profile": False, "pallas": False, "stats_json": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -125,8 +125,26 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             extras["profile"] = True
         elif a == "--pallas":
             extras["pallas"] = True
+        elif a == "--stats-json":
+            extras["stats_json"] = argv[i + 1]
+            skip = True
+        elif a.startswith("--stats-json="):
+            extras["stats_json"] = a.split("=", 1)[1]
         elif a == "--no-compat-getopt":
             compat_getopt = False
+        elif a in ("--help-extended", "--help"):
+            print_help(params)
+            print(
+                "\nraft_tpu extensions (not part of the reference surface):\n"
+                "  --engine {jax,oracle}   compute engine (default jax)\n"
+                "  --pallas                use the Pallas MXU pileup kernel\n"
+                "  --no-strict             drop out-of-bounds/unknown-read\n"
+                "                          PAF rows instead of erroring\n"
+                "  --pure-python-io        disable the native C++ I/O library\n"
+                "  --no-compat-getopt      -v no longer falls through to -o\n"
+                "  --profile               print per-stage timings\n"
+                "  --stats-json FILE       write machine-readable run stats\n")
+            raise SystemExit(0)
         else:
             rest.append(a)
 
@@ -197,6 +215,10 @@ def main(argv: list[str] | None = None) -> int:
     if extras["profile"]:
         for k, v in stats.stage_seconds.items():
             print(f"PROFILE, {k}: {v:.4f} s")
+    if extras["stats_json"]:
+        import json
+        with open(extras["stats_json"], "w") as f:
+            json.dump(stats.to_json(), f, indent=1)
     return 0
 
 

@@ -20,7 +20,6 @@ fallbacks keep identical bytes.
 
 from __future__ import annotations
 
-import numpy as np
 
 from raft_tpu.io.fasta import ReadStore
 from raft_tpu.result import ComputeResult

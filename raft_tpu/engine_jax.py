@@ -52,7 +52,6 @@ if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 from raft_tpu import bucketing
 from raft_tpu.io.fasta import ReadStore
 from raft_tpu.io.paf import OverlapTable
-from raft_tpu.ops.oracle import Fragment
 from raft_tpu.params import AlgoParams
 
 
@@ -310,7 +309,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         step = sharded_device_step(mesh)
         n_shards = mesh.devices.size
 
-    outs = []
+    prepared = []
     for bk in buckets:
         if n_shards > 1:
             from raft_tpu.parallel.mesh import shard_bucket
@@ -320,6 +319,24 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                          use_pallas=use_pallas)
         args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
                 jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+        prepared.append((bk, cfg, args))
+
+    # Pre-compile distinct shapes CONCURRENTLY: over a tunneled TPU link a
+    # fresh compile (or persistent-cache load) costs seconds each and jit
+    # compiles serially otherwise.
+    distinct = {}
+    for _, cfg, args in prepared:
+        key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
+        distinct.setdefault(key, (cfg, args))
+    if len(distinct) > 1:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(
+                lambda ca: step.lower(*ca[1], cfg=ca[0]).compile(),
+                distinct.values()))
+
+    outs = []
+    for bk, cfg, args in prepared:
         out = step(*args, cfg=cfg)
         outs.append((bk, cfg, args, out))
     # fetch after all dispatches (device runs async while host routes)

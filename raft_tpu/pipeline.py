@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import sys
+
 import time
 
 import numpy as np
@@ -50,6 +50,21 @@ class RunStats:
     def fraction_repeat(self) -> float:
         return (self.total_repeat_length / self.total_read_length
                 if self.total_read_length else 0.0)
+
+    def to_json(self) -> dict:
+        return {
+            "n_reads": self.n_reads,
+            "n_paf_rows": self.n_paf_rows,
+            "n_fragments": self.n_fragments,
+            "total_coverage": self.total_coverage,
+            "total_windows": self.total_windows,
+            "total_repeat_length": self.total_repeat_length,
+            "total_read_length": self.total_read_length,
+            "coverage_per_window": self.coverage_per_window,
+            "fraction_repeat": self.fraction_repeat,
+            "symmetric_overlaps": self.symmetric,
+            "stage_seconds": dict(self.stage_seconds),
+        }
 
 
 class _Timer:
