@@ -59,10 +59,15 @@ class Bucket:
 def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  ev_hi: np.ndarray, reso: int,
                  min_w: int = 64, max_rows: int = 4096,
-                 row_quantum: int = 8) -> list[Bucket]:
+                 row_quantum: int = 8, min_rows: int = 256) -> list[Bucket]:
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
     pure vectorized numpy.
+
+    Sparse buckets (< min_rows reads) merge into the next-larger W tier:
+    each bucket costs a device round trip (latency-bound on tunneled
+    links) and a compiled shape, so padding a few short reads further is
+    cheaper than paying another dispatch.
     """
     n = len(lens)
     nw = -(-lens.astype(np.int64) // reso)  # ceil; len 0 → 0 windows
@@ -70,7 +75,12 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
 
     w_bucket = np.maximum(min_w, 1 << np.ceil(
         np.log2(np.maximum(nw, 1))).astype(np.int64))
-    # read → bucket key
+    # read → bucket key, merging sparse tiers upward
+    keys = np.unique(w_bucket)
+    for ki in range(len(keys) - 1):
+        cnt = int((w_bucket == keys[ki]).sum())
+        if 0 < cnt < min_rows:
+            w_bucket[w_bucket == keys[ki]] = keys[ki + 1]
     keys = np.unique(w_bucket)
 
     # order events by read for slicing
