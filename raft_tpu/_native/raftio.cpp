@@ -181,11 +181,10 @@ namespace {
 // Multi-threaded plain-FASTA parse (mmap + record-aligned byte regions).
 // gz / FASTQ inputs use the streaming single-thread path below.
 // ---------------------------------------------------------------------------
-struct FaLocal {
-  std::vector<char> name_blob;       // names + '\0'
-  std::vector<int64_t> name_len;     // per record (without NUL)
-  std::vector<char> seq_blob;
-  std::vector<int64_t> seq_len;      // per record
+struct FaSizes {
+  int64_t n_records = 0;
+  int64_t name_bytes = 0;  // incl. one NUL per name
+  int64_t seq_bytes = 0;
 };
 
 size_t fasta_region_start(const char* p, size_t n, size_t lo) {
@@ -201,8 +200,9 @@ size_t fasta_region_start(const char* p, size_t n, size_t lo) {
   return n;
 }
 
-void parse_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
-                        FaLocal* out) {
+// Pass 1: exact output sizes for a region (no allocation, pure scan).
+void size_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
+                       FaSizes* out) {
   size_t i = fasta_region_start(p, n, lo);
   while (i < hi && i < n) {
     const char* line = p + i;
@@ -213,84 +213,111 @@ void parse_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
     while (b < hlen && isspace(static_cast<unsigned char>(line[b]))) b++;
     size_t e = b;
     while (e < hlen && !isspace(static_cast<unsigned char>(line[e]))) e++;
-    out->name_blob.insert(out->name_blob.end(), line + b, line + e);
-    out->name_blob.push_back('\0');
-    out->name_len.push_back(static_cast<int64_t>(e - b));
+    out->n_records++;
+    out->name_bytes += static_cast<int64_t>(e - b) + 1;
 
-    size_t seq_start = out->seq_blob.size();
     size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
     while (j < n && p[j] != '>') {
       const char* l2 = p + j;
       const char* nl2 = static_cast<const char*>(memchr(l2, '\n', n - j));
       size_t l2len = nl2 ? static_cast<size_t>(nl2 - l2) : n - j;
-      out->seq_blob.insert(out->seq_blob.end(), l2,
-                           l2 + line_len(l2, l2len));
+      out->seq_bytes += static_cast<int64_t>(line_len(l2, l2len));
       j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
     }
-    out->seq_len.push_back(
-        static_cast<int64_t>(out->seq_blob.size() - seq_start));
+    i = j;
+  }
+}
+
+// Pass 2: write names/seqs/offsets DIRECTLY into the final arrays at this
+// region's precomputed base offsets (no local buffers, no merge copies —
+// each output page is touched exactly once).
+void fill_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
+                       char* name_blob, int64_t name_base,
+                       char* seq_blob, int64_t seq_base,
+                       int64_t* name_off, int64_t* seq_off,
+                       int64_t rec_base) {
+  size_t i = fasta_region_start(p, n, lo);
+  int64_t npos = name_base;
+  int64_t spos = seq_base;
+  int64_t rec = rec_base;
+  while (i < hi && i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t hlen = line_len(line, llen);
+    size_t b = 1;
+    while (b < hlen && isspace(static_cast<unsigned char>(line[b]))) b++;
+    size_t e = b;
+    while (e < hlen && !isspace(static_cast<unsigned char>(line[e]))) e++;
+    memcpy(name_blob + npos, line + b, e - b);
+    npos += static_cast<int64_t>(e - b);
+    name_blob[npos++] = '\0';
+
+    size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    while (j < n && p[j] != '>') {
+      const char* l2 = p + j;
+      const char* nl2 = static_cast<const char*>(memchr(l2, '\n', n - j));
+      size_t l2len = nl2 ? static_cast<size_t>(nl2 - l2) : n - j;
+      size_t slen = line_len(l2, l2len);
+      memcpy(seq_blob + spos, l2, slen);
+      spos += static_cast<int64_t>(slen);
+      j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
+    }
+    rec++;
+    name_off[rec] = npos;
+    seq_off[rec] = spos;
     i = j;
   }
 }
 
 RaftFasta* load_fasta_threaded(const Mapped& m) {
   const int T = n_parse_threads();
-  std::vector<FaLocal> locals(T);
-  std::vector<std::thread> threads;
   const char* p = m.p;
   const size_t n = m.n;
-  for (int t = 0; t < T; t++) {
-    size_t lo = n * t / T;
-    size_t hi = n * (t + 1) / T;
-    threads.emplace_back(parse_fasta_region, p, n, lo, hi, &locals[t]);
-  }
-  for (auto& th : threads) th.join();
 
-  auto* fa = new RaftFasta();
-  size_t total_names = 0, total_name_bytes = 0, total_seq = 0;
-  for (auto& L : locals) {
-    total_names += L.name_len.size();
-    total_name_bytes += L.name_blob.size();
-    total_seq += L.seq_blob.size();
+  // pass 1: size every region (parallel scan, no allocation)
+  std::vector<FaSizes> sizes(T);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      threads.emplace_back(size_fasta_region, p, n, n * t / T,
+                           n * (t + 1) / T, &sizes[t]);
+    }
+    for (auto& th : threads) th.join();
   }
+  int64_t total_names = 0, total_name_bytes = 0, total_seq = 0;
+  std::vector<int64_t> rec_base(T + 1, 0), nb_base(T + 1, 0),
+      sb_base(T + 1, 0);
+  for (int t = 0; t < T; t++) {
+    rec_base[t + 1] = rec_base[t] + sizes[t].n_records;
+    nb_base[t + 1] = nb_base[t] + sizes[t].name_bytes;
+    sb_base[t + 1] = sb_base[t] + sizes[t].seq_bytes;
+  }
+  total_names = rec_base[T];
+  total_name_bytes = nb_base[T];
+  total_seq = sb_base[T];
+
+  // pass 2: exact-size allocations written once, in parallel, in place
+  auto* fa = new RaftFasta();
   fa->name_blob.resize(total_name_bytes);
   fa->seq_blob.resize(total_seq);
-  fa->name_off.reserve(total_names + 1);
-  fa->seq_off.reserve(total_names + 1);
-  fa->name_off.push_back(0);
-  fa->seq_off.push_back(0);
-
-  // parallel copy of blobs into their final offsets
+  fa->name_off.resize(total_names + 1);
+  fa->seq_off.resize(total_names + 1);
+  fa->name_off[0] = 0;
+  fa->seq_off[0] = 0;
   {
-    std::vector<size_t> nb_off(T + 1, 0), sb_off(T + 1, 0);
+    std::vector<std::thread> threads;
     for (int t = 0; t < T; t++) {
-      nb_off[t + 1] = nb_off[t] + locals[t].name_blob.size();
-      sb_off[t + 1] = sb_off[t] + locals[t].seq_blob.size();
+      threads.emplace_back(fill_fasta_region, p, n, n * t / T,
+                           n * (t + 1) / T,
+                           fa->name_blob.data(), nb_base[t],
+                           fa->seq_blob.data(), sb_base[t],
+                           fa->name_off.data(), fa->seq_off.data(),
+                           rec_base[t]);
     }
-    std::vector<std::thread> cp;
-    for (int t = 0; t < T; t++) {
-      cp.emplace_back([&, t]() {
-        if (!locals[t].name_blob.empty())
-          memcpy(fa->name_blob.data() + nb_off[t], locals[t].name_blob.data(),
-                 locals[t].name_blob.size());
-        if (!locals[t].seq_blob.empty())
-          memcpy(fa->seq_blob.data() + sb_off[t], locals[t].seq_blob.data(),
-                 locals[t].seq_blob.size());
-      });
-    }
-    for (auto& th : cp) th.join();
+    for (auto& th : threads) th.join();
   }
-
-  int64_t name_pos = 0, seq_pos = 0;
-  for (auto& L : locals) {
-    for (size_t r = 0; r < L.name_len.size(); r++) {
-      name_pos += L.name_len[r] + 1;
-      seq_pos += L.seq_len[r];
-      fa->name_off.push_back(name_pos);
-      fa->seq_off.push_back(seq_pos);
-    }
-  }
-  fa->n = static_cast<int64_t>(total_names);
+  fa->n = total_names;
 
   // global first-seen-order interning + the record-0 simulated gate
   for (int64_t i = 0; i < fa->n; i++) {

@@ -321,19 +321,21 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
         prepared.append((bk, cfg, args))
 
-    # Pre-compile distinct shapes CONCURRENTLY: over a tunneled TPU link a
-    # fresh compile (or persistent-cache load) costs seconds each and jit
-    # compiles serially otherwise.
+    # Pre-compile distinct shapes with bounded concurrency. Concurrency 2
+    # pipelines tunnel RPC latency without thrashing the compile server
+    # (8-way was measured slower than serial on the tunneled terminal).
     distinct = {}
     for _, cfg, args in prepared:
         key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
         distinct.setdefault(key, (cfg, args))
     if len(distinct) > 1:
         import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(
-                lambda ca: step.lower(*ca[1], cfg=ca[0]).compile(),
-                distinct.values()))
+        workers = int(os.environ.get("RAFT_COMPILE_WORKERS", "2"))
+        if workers > 1:
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(
+                    lambda ca: step.lower(*ca[1], cfg=ca[0]).compile(),
+                    distinct.values()))
 
     outs = []
     for bk, cfg, args in prepared:

@@ -64,7 +64,13 @@ class RunStats:
             "fraction_repeat": self.fraction_repeat,
             "symmetric_overlaps": self.symmetric,
             "stage_seconds": dict(self.stage_seconds),
+            "peak_rss_mb": self.peak_rss_mb,
         }
+
+    @property
+    def peak_rss_mb(self) -> float:
+        import resource
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
 class _Timer:
