@@ -99,18 +99,24 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     buckets: list[Bucket] = []
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]
-        # chunk large buckets so B stays bounded
-        for c0 in range(0, len(rids_all), max_rows):
-            rids = rids_all[c0:c0 + max_rows]
+        # one SHARED (B, E) shape for every chunk of a tier: each distinct
+        # jit shape costs a compile (seconds over tunneled links), so
+        # chunks of the same W tier pad to the worst chunk instead
+        chunks = [rids_all[c0:c0 + max_rows]
+                  for c0 in range(0, len(rids_all), max_rows)]
+        B_shared = _next_size(max(len(c) for c in chunks), lo=row_quantum)
+        E_shared = _next_size(
+            max(max(int(ev_counts[c].sum()) for c in chunks), 1), lo=64)
+        for rids in chunks:
             n_used = len(rids)
-            B = _next_size(n_used, lo=row_quantum)
+            B = B_shared
             W = int(key)
             blens = np.zeros(B, dtype=np.int32)
             blens[:n_used] = lens[rids]
 
             cnt = ev_counts[rids]
             tot = int(cnt.sum())
-            E = _next_size(max(tot, 1), lo=64)
+            E = E_shared
             dt = np.int16 if (B < 32768 and W < 32768) else np.int32
             ev_row_b = np.full(E, B, dtype=dt)  # B = dropped sentinel
             ev_w0_b = np.zeros(E, dtype=dt)
