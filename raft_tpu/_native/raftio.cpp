@@ -170,6 +170,7 @@ struct RaftFasta {
   std::vector<int64_t> name_off; // n+1
   std::vector<char> seq_blob;
   std::vector<int64_t> seq_off;  // n+1
+  std::vector<int64_t> rec_off;  // n+1 record BYTE offsets (index mode)
   int real_reads = 1;
   Interner interner;
   int64_t n = 0;
@@ -270,18 +271,110 @@ void fill_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
   }
 }
 
+void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
+                       char* name_blob, int64_t name_base,
+                       int64_t* name_off, int64_t* rec_off,
+                       int64_t rec_base) {
+  size_t i = fasta_region_start(p, n, lo);
+  int64_t npos = name_base;
+  int64_t rec = rec_base;
+  while (i < hi && i < n) {
+    rec_off[rec] = static_cast<int64_t>(i);
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t hlen = line_len(line, llen);
+    size_t b = 1;
+    while (b < hlen && isspace(static_cast<unsigned char>(line[b]))) b++;
+    size_t e = b;
+    while (e < hlen && !isspace(static_cast<unsigned char>(line[e]))) e++;
+    memcpy(name_blob + npos, line + b, e - b);
+    npos += static_cast<int64_t>(e - b);
+    name_blob[npos++] = '\0';
+    size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    while (j < n && p[j] != '>') {
+      const char* nl2 =
+          static_cast<const char*>(memchr(p + j, '\n', n - j));
+      j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
+    }
+    rec++;
+    name_off[rec] = npos;
+    i = j;
+  }
+}
+
+RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
+                                     size_t range_lo, size_t range_hi);
+
 RaftFasta* load_fasta_threaded(const Mapped& m) {
+  return load_fasta_threaded_range(m.p, m.n, 0, m.n);
+}
+
+// Name + byte-offset index over the whole file (no sequence copies):
+// the cheap first pass of the streaming (beyond-RAM) pipeline mode.
+RaftFasta* index_fasta_threaded(const Mapped& m) {
   const int T = n_parse_threads();
   const char* p = m.p;
   const size_t n = m.n;
-
-  // pass 1: size every region (parallel scan, no allocation)
   std::vector<FaSizes> sizes(T);
   {
     std::vector<std::thread> threads;
     for (int t = 0; t < T; t++) {
       threads.emplace_back(size_fasta_region, p, n, n * t / T,
                            n * (t + 1) / T, &sizes[t]);
+    }
+    for (auto& th : threads) th.join();
+  }
+  std::vector<int64_t> rec_base(T + 1, 0), nb_base(T + 1, 0);
+  for (int t = 0; t < T; t++) {
+    rec_base[t + 1] = rec_base[t] + sizes[t].n_records;
+    nb_base[t + 1] = nb_base[t] + sizes[t].name_bytes;
+  }
+  auto* fa = new RaftFasta();
+  fa->name_blob.resize(nb_base[T]);
+  fa->name_off.resize(rec_base[T] + 1);
+  fa->rec_off.resize(rec_base[T] + 1);
+  fa->name_off[0] = 0;
+  fa->rec_off[rec_base[T]] = static_cast<int64_t>(n);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      threads.emplace_back(fill_index_region, p, n, n * t / T,
+                           n * (t + 1) / T, fa->name_blob.data(),
+                           nb_base[t], fa->name_off.data(),
+                           fa->rec_off.data(), rec_base[t]);
+    }
+    for (auto& th : threads) th.join();
+  }
+  fa->n = rec_base[T];
+  static const std::regex sim_re(
+      "^read=[0-9]+,[a-z]+,position=[0-9]+-[0-9]+,length=[0-9]+,(.*)");
+  for (int64_t i = 0; i < fa->n; i++) {
+    const char* nm = fa->name_blob.data() + fa->name_off[i];
+    size_t nl = static_cast<size_t>(fa->name_off[i + 1] - fa->name_off[i] - 1);
+    if (i == 0 && std::regex_match(std::string(nm, nl), sim_re))
+      fa->real_reads = 0;
+    fa->interner.intern(nm, nl);
+  }
+  return fa;
+}
+
+// Parse only the records starting in [range_lo, range_hi) — the byte-range
+// primitive behind the streaming (beyond-RAM) pipeline mode.
+RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
+                                     size_t range_lo, size_t range_hi) {
+  const int T = n_parse_threads();
+
+  const size_t span = range_hi - range_lo;
+  auto seg = [&](int t) { return range_lo + span * t / T; };
+
+  // pass 1: size every region (parallel scan, no allocation)
+  std::vector<FaSizes> sizes(T);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      threads.emplace_back(size_fasta_region, p, n, seg(t), seg(t + 1),
+                           &sizes[t]);
     }
     for (auto& th : threads) th.join();
   }
@@ -308,8 +401,7 @@ RaftFasta* load_fasta_threaded(const Mapped& m) {
   {
     std::vector<std::thread> threads;
     for (int t = 0; t < T; t++) {
-      threads.emplace_back(fill_fasta_region, p, n, n * t / T,
-                           n * (t + 1) / T,
+      threads.emplace_back(fill_fasta_region, p, n, seg(t), seg(t + 1),
                            fa->name_blob.data(), nb_base[t],
                            fa->seq_blob.data(), sb_base[t],
                            fa->name_off.data(), fa->seq_off.data(),
@@ -412,6 +504,24 @@ RaftFasta* raftio_load_fasta(const char* path) {
   flush();
   return fa;
 }
+
+RaftFasta* raftio_index_fasta(const char* path) {
+  Mapped m;
+  if (!map_file(path, &m)) return nullptr;
+  if (!m.n || m.p[0] != '>') return nullptr;  // plain FASTA only
+  return index_fasta_threaded(m);
+}
+
+RaftFasta* raftio_load_fasta_range(const char* path, int64_t lo,
+                                   int64_t hi) {
+  Mapped m;
+  if (!map_file(path, &m)) return nullptr;
+  if (static_cast<size_t>(hi) > m.n || lo < 0 || lo >= hi) return nullptr;
+  return load_fasta_threaded_range(m.p, m.n, static_cast<size_t>(lo),
+                                   static_cast<size_t>(hi));
+}
+
+const int64_t* rf_rec_off(RaftFasta* fa) { return fa->rec_off.data(); }
 
 void raftio_free_fasta(RaftFasta* fa) { delete fa; }
 int64_t rf_n_reads(RaftFasta* fa) { return fa->n; }
@@ -672,8 +782,8 @@ const int32_t* rp_b_e(RaftPaf* pf) { return pf->b_e.data(); }
 namespace {
 class BufWriter {
  public:
-  explicit BufWriter(const char* path)
-      : f_(fopen(path, "wb")), buf_(1 << 22), n_(0) {}
+  explicit BufWriter(const char* path, bool append = false)
+      : f_(fopen(path, append ? "ab" : "wb")), buf_(1 << 22), n_(0) {}
   ~BufWriter() {
     flush();
     if (f_) fclose(f_);
@@ -758,8 +868,8 @@ int raftio_emit_frags_full(
     const uint8_t* align_code, const int64_t* start_pos,
     const int64_t* end_pos, const char* align_blob,
     const int64_t* align_off, const char* suffix_blob,
-    const int64_t* suffix_off, int64_t first_read_num) {
-  BufWriter w(path);
+    const int64_t* suffix_off, int64_t first_read_num, int append) {
+  BufWriter w(path, append != 0);
   if (!w.ok()) return -1;
   for (int64_t j = 0; j < n_frags; j++) {
     int64_t i = frag_read[j];
@@ -817,8 +927,9 @@ int raftio_emit_frags_full(
 // cov values for read i are cov[cov_off[i] .. cov_off[i+1])
 int raftio_emit_coverage(const char* path, const int32_t* cov,
                          const int64_t* cov_off, int64_t n_reads,
-                         int32_t reso, int64_t first_read_index) {
-  BufWriter w(path);
+                         int32_t reso, int64_t first_read_index,
+                         int append) {
+  BufWriter w(path, append != 0);
   if (!w.ok()) return -1;
   for (int64_t i = 0; i < n_reads; i++) {
     w.put("read ", 5);
@@ -840,8 +951,9 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
 // long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
 int raftio_emit_repeats(const char* path, const int32_t* rep_s,
                         const int32_t* rep_e, const int64_t* rep_off,
-                        int64_t n_reads, int64_t first_read_index) {
-  BufWriter w(path);
+                        int64_t n_reads, int64_t first_read_index,
+                        int append) {
+  BufWriter w(path, append != 0);
   if (!w.ok()) return -1;
   for (int64_t i = 0; i < n_reads; i++) {
     w.put("read ", 5);

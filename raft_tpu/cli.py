@@ -102,7 +102,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     """Parse reference-surface args; returns (params, reads, paf, extras)."""
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
-              "profile": False, "pallas": False, "stats_json": None}
+              "profile": False, "pallas": False, "stats_json": None,
+              "chunk_reads": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -128,6 +129,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
         elif a == "--stats-json":
             extras["stats_json"] = argv[i + 1]
             skip = True
+        elif a == "--chunk-reads":
+            extras["chunk_reads"] = int(argv[i + 1])
+            skip = True
+        elif a.startswith("--chunk-reads="):
+            extras["chunk_reads"] = int(a.split("=", 1)[1])
         elif a.startswith("--stats-json="):
             extras["stats_json"] = a.split("=", 1)[1]
         elif a == "--no-compat-getopt":
@@ -143,7 +149,9 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --pure-python-io        disable the native C++ I/O library\n"
                 "  --no-compat-getopt      -v no longer falls through to -o\n"
                 "  --profile               print per-stage timings\n"
-                "  --stats-json FILE       write machine-readable run stats\n")
+                "  --stats-json FILE       write machine-readable run stats\n"
+                "  --chunk-reads N         streaming mode: bound memory by\n"
+                "                          processing N reads at a time\n")
             raise SystemExit(0)
         else:
             rest.append(a)
@@ -207,7 +215,8 @@ def main(argv: list[str] | None = None) -> int:
     stats = run_pipeline(reads_path, paf_path, params,
                          engine=extras["engine"], strict=extras["strict"],
                          use_native=extras["use_native"],
-                         use_pallas=extras["pallas"])
+                         use_pallas=extras["pallas"],
+                         chunk_reads=extras["chunk_reads"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

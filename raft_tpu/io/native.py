@@ -66,6 +66,12 @@ def _configure(lib):
     lib.rf_seq_blob.argtypes = [C.c_void_p]
     lib.rf_seq_off.restype = P(C.c_int64)
     lib.rf_seq_off.argtypes = [C.c_void_p]
+    lib.raftio_index_fasta.restype = C.c_void_p
+    lib.raftio_index_fasta.argtypes = [C.c_char_p]
+    lib.raftio_load_fasta_range.restype = C.c_void_p
+    lib.raftio_load_fasta_range.argtypes = [C.c_char_p, C.c_int64, C.c_int64]
+    lib.rf_rec_off.restype = P(C.c_int64)
+    lib.rf_rec_off.argtypes = [C.c_void_p]
 
     lib.raftio_load_paf.restype = C.c_void_p
     lib.raftio_load_paf.argtypes = [C.c_char_p, C.c_void_p]
@@ -94,13 +100,13 @@ def _configure(lib):
         C.c_void_p, C.c_void_p, C.c_void_p,   # align_code, start, end
         C.c_char_p, C.c_void_p,  # align blob + off
         C.c_char_p, C.c_void_p,  # suffix blob + off
-        C.c_int64]               # first_read_num
+        C.c_int64, C.c_int]      # first_read_num, append
     lib.raftio_emit_coverage.restype = C.c_int
     lib.raftio_emit_coverage.argtypes = [
-        C.c_char_p, i32p, i64p, C.c_int64, C.c_int32, C.c_int64]
+        C.c_char_p, i32p, i64p, C.c_int64, C.c_int32, C.c_int64, C.c_int]
     lib.raftio_emit_repeats.restype = C.c_int
     lib.raftio_emit_repeats.argtypes = [
-        C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64]
+        C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64, C.c_int]
 
 
 class _FastaHandle:
@@ -208,6 +214,52 @@ def emit_available() -> bool:
     return _get_lib() is not None
 
 
+def index_reads(path: str):
+    """Name + byte-offset index over a plain FASTA (no sequence copies):
+    first pass of the streaming pipeline. Returns None when unavailable
+    (gz/FASTQ inputs use the non-streaming path)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ptr = lib.raftio_index_fasta(path.encode())
+    if not ptr:
+        return None
+    h = _FastaHandle(lib, ptr)
+    n = int(lib.rf_n_reads(ptr))
+    nb_size = lib.rf_name_blob_size(ptr)
+    name_blob = C.string_at(lib.rf_name_blob(ptr), nb_size) if nb_size else b""
+    names = (name_blob[:-1].decode("ascii", errors="replace").split("\0")
+             if n else [])
+    rec_off = _as_array(lib.rf_rec_off(ptr), n + 1, np.int64).copy()
+    return {"handle": h, "n": n, "names": names, "rec_off": rec_off,
+            "real_reads": bool(lib.rf_real_reads(ptr))}
+
+
+def load_reads_range(path: str, byte_lo: int, byte_hi: int):
+    """Parse only the records in a byte range (streaming chunk load)."""
+    from raft_tpu.io.fasta import ReadStore
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ptr = lib.raftio_load_fasta_range(path.encode(), byte_lo, byte_hi)
+    if not ptr:
+        return None
+    h = _FastaHandle(lib, ptr)
+    n = int(lib.rf_n_reads(ptr))
+    nb_size = lib.rf_name_blob_size(ptr)
+    name_blob = C.string_at(lib.rf_name_blob(ptr), nb_size) if nb_size else b""
+    names = (name_blob[:-1].decode("ascii", errors="replace").split("\0")
+             if n else [])
+    seq_off = _as_array(lib.rf_seq_off(ptr), n + 1, np.int64).copy()
+    seq_blob = _as_array(lib.rf_seq_blob(ptr),
+                         int(seq_off[-1]) if n else 0, np.uint8)
+    store = ReadStore(names=names, seq_blob=seq_blob, seq_off=seq_off,
+                      lens=np.diff(seq_off).astype(np.int32),
+                      real_reads=True, name_to_id={})
+    store._native_handle = h
+    return store
+
+
 def _name_blob0(store):
     """NUL-terminated joined name blob + [n+1] offsets (cached).
 
@@ -236,7 +288,8 @@ def _seq_ptr(lib, store):
     return C.cast(C.c_char_p(blob), C.c_void_p)
 
 
-def emit_frags_full(path: str, store, res, first_read_num: int = 1) -> bool:
+def emit_frags_full(path: str, store, res, first_read_num: int = 1,
+                    append: bool = False) -> bool:
     """Native fragment-FASTA writer with in-C++ header rendering."""
     lib = _get_lib()
     if lib is None:
@@ -270,7 +323,8 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1) -> bool:
         whole_u8, int(store.real_reads),
         name_blob, name_off,
         ac_ptr, sp_ptr, ep_ptr,
-        align_blob, ao_ptr, suffix_blob, so_ptr, first_read_num)
+        align_blob, ao_ptr, suffix_blob, so_ptr, first_read_num,
+        int(append))
     return rc == 0
 
 
@@ -302,20 +356,20 @@ def _sim_blobs(store):
 
 def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
                   n_reads: int, reso: int,
-                  first_read_index: int = 0) -> bool:
+                  first_read_index: int = 0, append: bool = False) -> bool:
     lib = _get_lib()
     if lib is None:
         return False
     rc = lib.raftio_emit_coverage(
         path.encode(), np.ascontiguousarray(cov_flat, dtype=np.int32),
         np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
-        first_read_index)
+        first_read_index, int(append))
     return rc == 0
 
 
 def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
                  rep_off: np.ndarray, n_reads: int,
-                 first_read_index: int = 0) -> bool:
+                 first_read_index: int = 0, append: bool = False) -> bool:
     lib = _get_lib()
     if lib is None:
         return False
@@ -323,5 +377,5 @@ def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
         path.encode(), np.ascontiguousarray(rep_s, dtype=np.int32),
         np.ascontiguousarray(rep_e, dtype=np.int32),
         np.ascontiguousarray(rep_off, dtype=np.int64), n_reads,
-        first_read_index)
+        first_read_index, int(append))
     return rc == 0

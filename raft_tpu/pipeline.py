@@ -142,8 +142,26 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  engine: str = "jax", strict: bool = True,
                  verbose: bool = True, use_native: bool | None = None,
                  use_pallas: bool = False, mesh=None,
+                 chunk_reads: int | None = None,
                  ) -> RunStats:
-    """Full RAFT run: parse, compute, emit the four output files."""
+    """Full RAFT run: parse, compute, emit the four output files.
+
+    ``chunk_reads``: streaming mode — process the FASTA in chunks of that
+    many reads so sequence bytes never fully reside in memory (the
+    reference holds ~3.4x the input resident, SURVEY.md §2; this bounds
+    the blob at one chunk). Plain FASTA only; other inputs fall back to
+    the whole-file path.
+    """
+    if chunk_reads:
+        st = _run_pipeline_chunked(read_path, paf_path, params,
+                                   chunk_reads, strict=strict,
+                                   verbose=verbose, use_pallas=use_pallas,
+                                   mesh=mesh)
+        if st is not None:
+            return st
+        if verbose:
+            print("INFO, streaming mode unavailable for this input; "
+                  "running whole-file")
     params.validate()
     _validate_inputs(read_path, paf_path)
     stats = RunStats()
@@ -212,3 +230,126 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                 f.result()
             stats.n_fragments = futs[-1].result()
     return stats
+
+
+def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
+                          chunk_reads: int, strict: bool = True,
+                          verbose: bool = True, use_pallas: bool = False,
+                          mesh=None) -> RunStats | None:
+    """Streaming pipeline: index pass → full PAF → per-chunk byte-range
+    parse, compute, and append-emit with global numbering offsets.
+
+    Exactness: coverage/repeats/chop depend only on a read's own events,
+    so chunk boundaries cannot change any output byte (enforced by
+    tests/test_streaming.py). Returns None when the input cannot be
+    indexed (gz/FASTQ) so the caller falls back.
+    """
+    from raft_tpu.io import native
+    from raft_tpu.io.fasta import (parse_sim_align, parse_sim_chr,
+                                   parse_sim_end_pos, parse_sim_start_pos)
+    from raft_tpu.engine_jax import compute_jax
+    from raft_tpu.io.paf import OverlapTable
+
+    params.validate()
+    _validate_inputs(read_path, paf_path)
+    idx = native.index_reads(read_path)
+    if idx is None or idx["n"] == 0:
+        return None
+    stats = RunStats()
+    n = idx["n"]
+    if verbose:
+        print(f"Real Reads {int(idx['real_reads'])} ")
+
+    with _Timer(stats, "load_paf"):
+        # PAF interns against the index handle's global name map
+        class _IdxStore:
+            pass
+        shim = _IdxStore()
+        shim._native_handle = idx["handle"]
+        table = native.load_paf(paf_path, shim)
+        if table is None:
+            return None
+    if verbose:
+        print(f"INFO, Symmetric overlaps {int(table.symmetric)} ")
+        print(f"INFO, length of alignments  {table.n_rows}()")
+
+    params = params.replace(real_reads=idx["real_reads"],
+                            symmetric_overlaps=table.symmetric)
+    if verbose:
+        print(f"high_cov {params.high_cov}")
+
+    # all events once (columnar, ~8B/event) sorted by read id
+    ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
+    order = np.argsort(ev_read, kind="stable")
+    ev_read = ev_read[order]
+    ev_lo = ev_lo[order]
+    ev_hi = ev_hi[order]
+
+    prefix = params.outputfilename
+    rec_off = idx["rec_off"]
+    names = idx["names"]
+    frag_num = 1
+    first = True
+    for lo in range(0, n, chunk_reads):
+        hi = min(lo + chunk_reads, n)
+        with _Timer(stats, "load_reads"):
+            store = native.load_reads_range(
+                read_path, int(rec_off[lo]), int(rec_off[hi]))
+        store.real_reads = params.real_reads
+        if not params.real_reads:
+            cn = names[lo:hi]
+            store.start_pos = np.asarray(
+                [parse_sim_start_pos(nm) for nm in cn], dtype=np.int64)
+            store.end_pos = np.asarray(
+                [parse_sim_end_pos(nm) for nm in cn], dtype=np.int64)
+            store.align = [parse_sim_align(nm) for nm in cn]
+            store.chrom = [parse_sim_chr(nm) for nm in cn]
+
+        a, b = np.searchsorted(ev_read, [lo, hi])
+        sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b], ev_hi[a:b],
+                                table.symmetric)
+        with _Timer(stats, "compute"):
+            res = compute_jax(store, sub_table, params, strict=strict,
+                              use_pallas=use_pallas, mesh=mesh)
+
+        with _Timer(stats, "emit"):
+            emit.write_fragments_fasta(
+                prefix + ".reads.fasta", store, params, res,
+                first_read_num=frag_num, append=not first)
+            emit.write_coverage(prefix + ".coverage.txt", params.reso, res,
+                                first_read_index=lo, append=not first)
+            emit.write_long_repeats(prefix + ".long_repeats.txt", res,
+                                    first_read_index=lo, append=not first)
+            emit.write_long_repeats_bed(prefix + ".long_repeats.bed",
+                                        store, res, append=not first)
+        frag_num += res.n_frags
+        stats.total_coverage += res.total_coverage
+        stats.total_windows += res.total_windows
+        stats.total_repeat_length += res.total_repeat_length
+        stats.total_read_length += res.total_read_length
+        first = False
+
+    stats.n_reads = n
+    stats.n_paf_rows = table.n_rows
+    stats.symmetric = table.symmetric
+    stats.n_fragments = frag_num - 1
+    if verbose:
+        print(f"coverage per window is {stats.coverage_per_window:f} ")
+        print("coverage per window/average coverage is "
+              f"{stats.coverage_per_window / params.est_cov:f} ")
+        print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
+    return stats
+
+
+class _EventTable:
+    """Pre-built event view with the OverlapTable.events() contract."""
+
+    def __init__(self, ev_read, ev_lo, ev_hi, symmetric):
+        self._ev = (np.ascontiguousarray(ev_read, dtype=np.int32),
+                    np.ascontiguousarray(ev_lo, dtype=np.int32),
+                    np.ascontiguousarray(ev_hi, dtype=np.int32))
+        self.symmetric = symmetric
+        self.n_rows = len(ev_read)
+
+    def events(self, n_reads, strict=True):
+        return self._ev
