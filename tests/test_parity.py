@@ -112,6 +112,7 @@ def test_parity_edge_reads(tmp_path, ref_binary, engine):
     tmp = str(tmp_path)
     rng = random.Random(4242)
     reads = [
+        ("empty", ""),                              # zero-length record
         ("tiny", "ACGT" * 25),                      # 100 bp < interval
         ("exact_iv", datagen._seq(rng, 4000)),      # == 2 intervals exactly
         ("exact_reso", datagen._seq(rng, 2500)),    # multiple of reso
@@ -122,8 +123,8 @@ def test_parity_edge_reads(tmp_path, ref_binary, engine):
     ]
     lines = []
     lines += datagen.make_paf(rng, reads, 25, include_self=True,
-                              repeat_spec=[(4, 8000, 12000, 40),
-                                           (5, 0, 8000, 40)])
+                              repeat_spec=[(5, 8000, 12000, 40),
+                                           (6, 0, 8000, 40)])
     # zero-length match at a window boundary and off-boundary
     lines.append(f"plain\t9000\t200\t200\t+\texact_iv\t4000\t100\t700\t0\t600")
     lines.append(f"plain\t9000\t333\t333\t+\texact_iv\t4000\t100\t700\t0\t600")
