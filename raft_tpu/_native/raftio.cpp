@@ -591,7 +591,7 @@ struct PafLocal {
 };
 
 void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
-                      const Interner* in, PafRow row0, bool skip_first,
+                      const Interner* in, PafRow row0, size_t row0_off,
                       PafLocal* out) {
   size_t i = lo;
   if (lo != 0) {
@@ -600,8 +600,8 @@ void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
     if (!q) return;
     i = static_cast<size_t>(q - p) + 1;
   }
-  bool first_in_region = true;
   while (i < hi && i < n) {
+    size_t line_off = i;
     const char* line = p + i;
     const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
     size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
@@ -610,8 +610,7 @@ void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
     PafRow r = parse_paf_line(line, len, *in);
     if (!r.valid) continue;
     if (r.a < 0 || r.b < 0) out->unknown++;
-    bool is_row0 = skip_first && first_in_region;
-    first_in_region = false;
+    bool is_row0 = line_off == row0_off;
     if (!is_row0 && r.a >= 0 && r.b >= 0 &&
         row0.a == r.b && row0.b == r.a && row0.as_ == r.bs &&
         row0.ae == r.be && row0.bs == r.as_ && row0.be == r.ae)
@@ -628,11 +627,15 @@ void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
 RaftPaf* load_paf_threaded(const Mapped& m, RaftFasta* fa) {
   const char* p = m.p;
   const size_t n = m.n;
-  // row 0 = first valid (>=10 col) row, needed by every thread's mirror test
+  // row 0 = first valid (>=10 col) row, needed by every thread's mirror
+  // test; identified by byte offset so no thread ever compares it to
+  // itself (the reference skips exactly record 0, chop.hpp:171-184)
   PafRow row0{0, 0, 0, 0, 0, 0, false};
+  size_t row0_off = 0;
   {
     size_t i = 0;
     while (i < n && !row0.valid) {
+      row0_off = i;
       const char* line = p + i;
       const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
       size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
@@ -650,7 +653,7 @@ RaftPaf* load_paf_threaded(const Mapped& m, RaftFasta* fa) {
     size_t lo = n * t / T;
     size_t hi = n * (t + 1) / T;
     threads.emplace_back(parse_paf_region, p, n, lo, hi, &fa->interner,
-                         row0, t == 0, &locals[t]);
+                         row0, row0_off, &locals[t]);
   }
   for (auto& th : threads) th.join();
 

@@ -233,11 +233,12 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
 
 def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
-    if cfg.use_pallas:
+    if cfg.use_pallas and cfg.W % 128 == 0 and cfg.B % min(128, cfg.B) == 0:
         from raft_tpu.ops.pileup_pallas import pileup_pallas
         cov = pileup_pallas(ev_row, ev_w0, ev_w1, cfg)
         diff = jnp.diff(cov, axis=1, prepend=0)
     else:
+        # small buckets fall back to the scatter path (pallas tile limits)
         cov, diff = pileup_diff_scatter(ev_row, ev_w0, ev_w1, cfg)
     rep_s, rep_e, rep_n, rep_len_sum = repeat_scan(cov, lens, cfg)
     frags = chop_markers(lens, rep_s, rep_e, cfg)
