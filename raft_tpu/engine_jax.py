@@ -233,7 +233,9 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
 
 def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
-    if cfg.use_pallas and cfg.W % 128 == 0 and cfg.B % min(128, cfg.B) == 0:
+    if (cfg.use_pallas and cfg.W % 128 == 0
+            and cfg.B % min(128, cfg.B) == 0
+            and jax.default_backend() == "tpu"):
         from raft_tpu.ops.pileup_pallas import pileup_pallas
         cov = pileup_pallas(ev_row, ev_w0, ev_w1, cfg)
         diff = jnp.diff(cov, axis=1, prepend=0)
