@@ -19,8 +19,11 @@ Design (SURVEY.md §2 "Parallelism strategies", §7 step 5):
 * ``cat prefix.reads.fasta.shard-* > prefix.reads.fasta`` (or
   ``concat_shards``) yields the byte-identical single-file output.
 
-The pure planning helpers below are unit-tested; the ``jax.distributed``
-glue requires a real multi-host environment.
+The pure planning helpers are unit-tested in-process
+(tests/test_distributed.py) and the full ``jax.distributed`` glue is
+exercised by a REAL two-process run (tests/test_distributed_real.py,
+``-m slow``) whose concatenated shards are byte-identical to the
+single-host output.
 """
 
 from __future__ import annotations
@@ -107,7 +110,7 @@ def run_distributed(read_path: str, paf_path: str, params,
     sub_store = _slice_store(store, lo, hi)
     sub_table = _slice_table(table, lo, hi)
 
-    mesh = make_mesh()  # local chips
+    mesh = make_mesh(local=True)  # this host's chips only
     # strict=False: sliced tables deliberately carry FOREIGN partner ids
     res = compute_jax(sub_store, sub_table, params, mesh=mesh, strict=False)
 

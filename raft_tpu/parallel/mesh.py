@@ -29,8 +29,13 @@ from raft_tpu import bucketing
 from raft_tpu.engine_jax import StaticCfg, device_step_impl
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "r") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "r",
+              local: bool = False) -> Mesh:
+    """1-D device mesh. ``local=True`` restricts to this process's devices
+    — required in multi-process (jax.distributed) runs where each host
+    computes only its own read range (global-mesh outputs would span
+    non-addressable devices)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
