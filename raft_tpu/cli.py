@@ -103,7 +103,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": False, "stats_json": None,
-              "chunk_reads": None}
+              "chunk_reads": None, "devices": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -134,6 +134,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             skip = True
         elif a.startswith("--chunk-reads="):
             extras["chunk_reads"] = int(a.split("=", 1)[1])
+        elif a == "--devices":
+            extras["devices"] = int(argv[i + 1])
+            skip = True
+        elif a.startswith("--devices="):
+            extras["devices"] = int(a.split("=", 1)[1])
         elif a.startswith("--stats-json="):
             extras["stats_json"] = a.split("=", 1)[1]
         elif a == "--no-compat-getopt":
@@ -151,7 +156,9 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --profile               print per-stage timings\n"
                 "  --stats-json FILE       write machine-readable run stats\n"
                 "  --chunk-reads N         streaming mode: bound memory by\n"
-                "                          processing N reads at a time\n")
+                "                          processing N reads at a time\n"
+                "  --devices N             shard_map data parallelism over\n"
+                "                          the first N local devices\n")
             raise SystemExit(0)
         else:
             rest.append(a)
@@ -212,10 +219,14 @@ def main(argv: list[str] | None = None) -> int:
     print("INFO, main(), started timer")
 
     from raft_tpu.pipeline import run_pipeline
+    mesh = None
+    if extras["devices"]:
+        from raft_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(extras["devices"])
     stats = run_pipeline(reads_path, paf_path, params,
                          engine=extras["engine"], strict=extras["strict"],
                          use_native=extras["use_native"],
-                         use_pallas=extras["pallas"],
+                         use_pallas=extras["pallas"], mesh=mesh,
                          chunk_reads=extras["chunk_reads"])
 
     wct = time.perf_counter() - t0
