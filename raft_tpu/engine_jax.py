@@ -344,20 +344,29 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     for bk, cfg, args in prepared:
         out = step(*args, cfg=cfg)
         outs.append((bk, cfg, args, out))
-    # fetch after all dispatches (device runs async while host routes)
+
+    # fetch in a worker thread so D2H transfers overlap the host-side
+    # integration (int8 diff → int32 cumsum) of the previous bucket
+    import concurrent.futures as cf
+
+    def _fetch(item):
+        bk, cfg, args, out = item
+        return bk, cfg, args, jax.device_get(out)
+
     fetched = []
-    for bk, cfg, args, out in outs:
-        out = jax.device_get(out)
-        if "diff8" in out:
-            if bool(np.all(out["ok8"])):
-                cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
-            else:
-                # rare: a window's increment exceeded int8 — refetch exact
-                cfg32 = dataclasses.replace(cfg, cov_out="int32")
-                out32 = jax.device_get(step(*args, cfg=cfg32))
-                cov = out32["cov"]
-            out["cov"] = cov
-        fetched.append((bk, out))
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        for bk, cfg, args, out in ex.map(_fetch, outs):
+            if "diff8" in out:
+                if bool(np.all(out["ok8"])):
+                    cov = np.cumsum(out.pop("diff8"), axis=1,
+                                    dtype=np.int32)
+                else:
+                    # rare: a window's increment exceeded int8 — refetch
+                    cfg32 = dataclasses.replace(cfg, cov_out="int32")
+                    out32 = jax.device_get(step(*args, cfg=cfg32))
+                    cov = out32["cov"]
+                out["cov"] = cov
+            fetched.append((bk, out))
     outs = fetched
 
     # global offsets in read-id order
