@@ -152,3 +152,19 @@ def test_split_naive_parity(tmp_path, ref_split_naive):
     with open(our_out, "rb") as f:
         b = f.read()
     assert a == b
+
+
+def test_stats_json_and_chunked_cli(tmp_path):
+    import json
+    reads, paf = _case(tmp_path)
+    args = ["-e", "10", "-p", "2000", "-l", "4000",
+            "-o", str(tmp_path / "sj"), "--engine", "jax",
+            "--stats-json", str(tmp_path / "stats.json"),
+            "--chunk-reads", "5", reads, paf]
+    rc, _ = run_ours(args, str(tmp_path))
+    assert rc == 0
+    stats = json.loads((tmp_path / "stats.json").read_text())
+    assert stats["n_reads"] == 12
+    assert stats["n_fragments"] >= 12
+    assert stats["peak_rss_mb"] > 0
+    assert (tmp_path / "sj.reads.fasta").exists()
