@@ -778,6 +778,442 @@ const int32_t* rp_a_e(RaftPaf* pf) { return pf->a_e.data(); }
 const int32_t* rp_b_s(RaftPaf* pf) { return pf->b_s.data(); }
 const int32_t* rp_b_e(RaftPaf* pf) { return pf->b_e.data(); }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Binned PAF event spill (streaming mode).
+//
+// Bounds overlap-table residency for beyond-RAM inputs: instead of loading
+// all rows into columns, a two-pass parse writes the coverage *events*
+// (read_id, start, end_inclusive as 3x int32) grouped by owner-read chunk
+// (bin k owns reads [k*chunk, (k+1)*chunk)) into two spill files — A-side
+// events and B-side events — plus per-bin event offsets. The consumer reads
+// one bin at a time; B-side events are ignored when the file turns out to
+// be symmetric (reference rule: B-side coverage only when not symmetric,
+// /root/reference/repeat.hpp:54-58, chop.hpp:166-169).
+//
+// The record-0-mirror symmetric test (/root/reference/chop.hpp:175-184)
+// compares NAMES instead of interned ids here — equivalent because
+// interning is injective — so rows naming reads absent from the FASTA
+// need no id assignment (they are counted and dropped; the reference
+// overruns its pileup array on such rows).
+// ---------------------------------------------------------------------------
+struct RaftPafBins {
+  int64_t n_rows = 0;     // valid (>=10 column) rows seen
+  int symmetric = 0;
+  int64_t n_unknown = 0;  // per-side count of names absent from the FASTA
+  int64_t n_bins = 0;
+  std::vector<int64_t> a_off, b_off;  // [n_bins+1] event offsets per bin
+};
+
+namespace {
+
+struct PafRowN {  // parsed row with name views (no interning)
+  const char* qn;
+  size_t qn_len;
+  const char* tn;
+  size_t tn_len;
+  int32_t as_, ae, bs, be;
+  bool valid;
+};
+
+inline PafRowN parse_paf_line_n(const char* s, size_t len) {
+  PafRowN r{nullptr, 0, nullptr, 0, 0, 0, 0, 0, false};
+  const char* col[10];
+  size_t clen[10];
+  int nc = 0;
+  const char* p = s;
+  const char* endp = s + len;
+  while (nc < 10) {
+    const char* t = static_cast<const char*>(memchr(p, '\t', endp - p));
+    col[nc] = p;
+    clen[nc] = (t ? t : endp) - p;
+    nc++;
+    if (!t) break;
+    p = t + 1;
+  }
+  if (nc < 10) return r;
+  auto toi = [](const char* q, size_t n) -> int64_t {
+    int64_t v = 0;
+    size_t i = 0;
+    bool neg = false;
+    if (i < n && (q[i] == '-' || q[i] == '+')) neg = (q[i++] == '-');
+    for (; i < n && q[i] >= '0' && q[i] <= '9'; i++) v = v * 10 + (q[i] - '0');
+    return neg ? -v : v;
+  };
+  r.qn = col[0];
+  r.qn_len = clen[0];
+  r.tn = col[5];
+  r.tn_len = clen[5];
+  r.as_ = static_cast<int32_t>(toi(col[2], clen[2]));
+  r.ae = static_cast<int32_t>(toi(col[3], clen[3]));
+  r.bs = static_cast<int32_t>(toi(col[7], clen[7]));
+  r.be = static_cast<int32_t>(toi(col[8], clen[8]));
+  r.valid = true;
+  return r;
+}
+
+inline bool names_eq(const char* a, size_t an, const char* b, size_t bn) {
+  return an == bn && memcmp(a, b, an) == 0;
+}
+
+inline bool row_is_mirror(const PafRowN& r0, const PafRowN& r) {
+  return r0.as_ == r.bs && r0.ae == r.be && r0.bs == r.as_ &&
+         r0.be == r.ae && names_eq(r0.qn, r0.qn_len, r.tn, r.tn_len) &&
+         names_eq(r0.tn, r0.tn_len, r.qn, r.qn_len);
+}
+
+// Walk rows of [lo, hi) starting at the first line boundary >= lo
+// (lo==0 starts immediately); calls fn(row, byte_offset) per valid row.
+template <class F>
+void walk_paf_region(const char* p, size_t n, size_t lo, size_t hi, F&& fn) {
+  size_t i = lo;
+  if (lo != 0) {
+    const char* q =
+        static_cast<const char*>(memchr(p + lo - 1, '\n', n - (lo - 1)));
+    if (!q) return;
+    i = static_cast<size_t>(q - p) + 1;
+  }
+  while (i < hi && i < n) {
+    size_t off = i;
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    PafRowN r = parse_paf_line_n(line, line_len(line, llen));
+    if (r.valid) fn(r, off);
+  }
+}
+
+struct BinCounts {
+  std::vector<int64_t> a, b;  // events per bin
+  int64_t n_rows = 0, n_unknown = 0;
+  bool mirror = false;
+};
+
+// Per-row pass-1 accounting shared by the mmap and gz paths.
+inline void count_row(const PafRowN& r, size_t off, const PafRowN& row0,
+                      size_t row0_off, bool have_row0, const Interner& in,
+                      int64_t n_reads, int64_t chunk, BinCounts* L) {
+  L->n_rows++;
+  if (have_row0 && off != row0_off && row_is_mirror(row0, r))
+    L->mirror = true;
+  int32_t a = in.lookup(r.qn, r.qn_len);
+  int32_t b = in.lookup(r.tn, r.tn_len);
+  bool a_known = a >= 0 && a < n_reads;
+  bool b_known = b >= 0 && b < n_reads;
+  if (!a_known) L->n_unknown++;
+  if (!b_known) L->n_unknown++;
+  if (a_known) L->a[a / chunk]++;
+  if (b_known && !names_eq(r.qn, r.qn_len, r.tn, r.tn_len))
+    L->b[b / chunk]++;
+}
+
+ssize_t pwrite_full(int fd, const void* buf, size_t n, int64_t off) {
+  const char* p = static_cast<const char*>(buf);
+  size_t done = 0;
+  while (done < n) {
+    ssize_t w = pwrite(fd, p + done, n - done, off + done);
+    if (w <= 0) return -1;
+    done += static_cast<size_t>(w);
+  }
+  return static_cast<ssize_t>(n);
+}
+
+// Buffered per-bin event writer into one pre-sized spill file at exact
+// offsets (safe for concurrent threads: disjoint ranges, pwrite).
+class BinWriter {
+ public:
+  BinWriter(int fd, std::vector<int64_t> start_ev, int cap_events)
+      : fd_(fd), cursor_(std::move(start_ev)), bufs_(cursor_.size()),
+        cap_(cap_events), failed_(false) {}
+
+  void add(int64_t bin, int32_t id, int32_t lo, int32_t hi) {
+    auto& b = bufs_[bin];
+    if (b.capacity() == 0) b.reserve(3 * cap_);
+    b.push_back(id);
+    b.push_back(lo);
+    b.push_back(hi);
+    if (static_cast<int>(b.size() / 3) >= cap_) flush(bin);
+  }
+  void flush_all() {
+    for (size_t k = 0; k < bufs_.size(); k++) flush(static_cast<int64_t>(k));
+  }
+  bool failed() const { return failed_; }
+
+ private:
+  void flush(int64_t bin) {
+    auto& b = bufs_[bin];
+    if (b.empty()) return;
+    if (pwrite_full(fd_, b.data(), b.size() * sizeof(int32_t),
+                    cursor_[bin] * 12) < 0)
+      failed_ = true;
+    cursor_[bin] += static_cast<int64_t>(b.size() / 3);
+    b.clear();
+  }
+  int fd_;
+  std::vector<int64_t> cursor_;
+  std::vector<std::vector<int32_t>> bufs_;
+  int cap_;
+  bool failed_;
+};
+
+// Per-row pass-2 emission shared by the mmap and gz paths.
+inline void emit_row(const PafRowN& r, const Interner& in, int64_t n_reads,
+                     int64_t chunk, BinWriter* wa, BinWriter* wb) {
+  int32_t a = in.lookup(r.qn, r.qn_len);
+  int32_t b = in.lookup(r.tn, r.tn_len);
+  if (a >= 0 && a < n_reads)
+    wa->add(a / chunk, a, r.as_, r.ae - 1);
+  if (b >= 0 && b < n_reads &&
+      !names_eq(r.qn, r.qn_len, r.tn, r.tn_len))
+    wb->add(b / chunk, b, r.bs, r.be - 1);
+}
+
+int buf_events_for(int T, int64_t n_bins) {
+  // bound total staging memory at ~64 MB across all threads and bins
+  int64_t per = (64LL << 20) / (static_cast<int64_t>(T) *
+                                std::max<int64_t>(n_bins, 1) * 12);
+  if (per < 64) per = 64;
+  if (per > 4096) per = 4096;
+  return static_cast<int>(per);
+}
+
+RaftPafBins* paf_bin_events_mmap(const Mapped& m, const Interner& in,
+                                 int64_t n_reads, int64_t chunk,
+                                 int fda, int fdb) {
+  const char* p = m.p;
+  const size_t n = m.n;
+  const int64_t n_bins = (n_reads + chunk - 1) / chunk;
+
+  // row 0 = first valid row, identified by byte offset (the reference's
+  // mirror test skips exactly record 0, chop.hpp:171-184)
+  PafRowN row0{nullptr, 0, nullptr, 0, 0, 0, 0, 0, false};
+  size_t row0_off = 0;
+  {
+    size_t i = 0;
+    while (i < n && !row0.valid) {
+      row0_off = i;
+      const char* line = p + i;
+      const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+      size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+      row0 = parse_paf_line_n(line, line_len(line, llen));
+      i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    }
+  }
+
+  const int T = n_parse_threads();
+  std::vector<BinCounts> locals(T);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      locals[t].a.assign(n_bins, 0);
+      locals[t].b.assign(n_bins, 0);
+      size_t lo = n * t / T;
+      size_t hi = n * (t + 1) / T;
+      threads.emplace_back([&, t, lo, hi]() {
+        walk_paf_region(p, n, lo, hi, [&](const PafRowN& r, size_t off) {
+          count_row(r, off, row0, row0_off, row0.valid, in, n_reads, chunk,
+                    &locals[t]);
+        });
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  auto* out = new RaftPafBins();
+  out->n_bins = n_bins;
+  out->a_off.assign(n_bins + 1, 0);
+  out->b_off.assign(n_bins + 1, 0);
+  bool mirror = false;
+  for (auto& L : locals) {
+    out->n_rows += L.n_rows;
+    out->n_unknown += L.n_unknown;
+    mirror |= L.mirror;
+    for (int64_t k = 0; k < n_bins; k++) {
+      out->a_off[k + 1] += L.a[k];
+      out->b_off[k + 1] += L.b[k];
+    }
+  }
+  out->symmetric = mirror ? 1 : 0;
+  for (int64_t k = 0; k < n_bins; k++) {
+    out->a_off[k + 1] += out->a_off[k];
+    out->b_off[k + 1] += out->b_off[k];
+  }
+
+  if (ftruncate(fda, out->a_off[n_bins] * 12) != 0 ||
+      ftruncate(fdb, out->b_off[n_bins] * 12) != 0) {
+    delete out;
+    return nullptr;
+  }
+
+  // per-(thread, bin) start offsets from the pass-1 counts
+  const int cap = buf_events_for(T, n_bins);
+  bool failed = false;
+  {
+    std::vector<std::thread> threads;
+    std::vector<int64_t> a_cur(out->a_off.begin(), out->a_off.end() - 1);
+    std::vector<int64_t> b_cur(out->b_off.begin(), out->b_off.end() - 1);
+    std::vector<std::vector<int64_t>> a_start(T), b_start(T);
+    for (int t = 0; t < T; t++) {
+      a_start[t] = a_cur;
+      b_start[t] = b_cur;
+      for (int64_t k = 0; k < n_bins; k++) {
+        a_cur[k] += locals[t].a[k];
+        b_cur[k] += locals[t].b[k];
+      }
+    }
+    std::vector<char> fail(T, 0);
+    for (int t = 0; t < T; t++) {
+      size_t lo = n * t / T;
+      size_t hi = n * (t + 1) / T;
+      threads.emplace_back([&, t, lo, hi]() {
+        BinWriter wa(fda, a_start[t], cap);
+        BinWriter wb(fdb, b_start[t], cap);
+        walk_paf_region(p, n, lo, hi, [&](const PafRowN& r, size_t) {
+          emit_row(r, in, n_reads, chunk, &wa, &wb);
+        });
+        wa.flush_all();
+        wb.flush_all();
+        fail[t] = (wa.failed() || wb.failed()) ? 1 : 0;
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < T; t++) failed |= fail[t] != 0;
+  }
+  if (failed) {
+    delete out;
+    return nullptr;
+  }
+  return out;
+}
+
+RaftPafBins* paf_bin_events_stream(const char* path, const Interner& in,
+                                   int64_t n_reads, int64_t chunk,
+                                   int fda, int fdb) {
+  const int64_t n_bins = (n_reads + chunk - 1) / chunk;
+  // pass 1: counts + row0 capture (names copied: LineReader views expire)
+  BinCounts cnt;
+  cnt.a.assign(n_bins, 0);
+  cnt.b.assign(n_bins, 0);
+  std::string r0qn, r0tn;
+  PafRowN row0{nullptr, 0, nullptr, 0, 0, 0, 0, 0, false};
+  {
+    LineReader rd(path);
+    if (!rd.ok()) return nullptr;
+    const char* s;
+    size_t len;
+    int64_t row_idx = 0;
+    int64_t row0_idx = -1;
+    while (rd.next(&s, &len)) {
+      PafRowN r = parse_paf_line_n(s, len);
+      if (!r.valid) continue;
+      if (!row0.valid) {
+        r0qn.assign(r.qn, r.qn_len);
+        r0tn.assign(r.tn, r.tn_len);
+        row0 = r;
+        row0.qn = r0qn.data();
+        row0.tn = r0tn.data();
+        row0_idx = row_idx;
+      }
+      // reuse count_row with the row index standing in for a byte offset
+      count_row(r, static_cast<size_t>(row_idx),
+                row0, static_cast<size_t>(row0_idx), row0.valid, in,
+                n_reads, chunk, &cnt);
+      row_idx++;
+    }
+  }
+  auto* out = new RaftPafBins();
+  out->n_bins = n_bins;
+  out->n_rows = cnt.n_rows;
+  out->n_unknown = cnt.n_unknown;
+  out->symmetric = cnt.mirror ? 1 : 0;
+  out->a_off.assign(n_bins + 1, 0);
+  out->b_off.assign(n_bins + 1, 0);
+  for (int64_t k = 0; k < n_bins; k++) {
+    out->a_off[k + 1] = out->a_off[k] + cnt.a[k];
+    out->b_off[k + 1] = out->b_off[k] + cnt.b[k];
+  }
+  if (ftruncate(fda, out->a_off[n_bins] * 12) != 0 ||
+      ftruncate(fdb, out->b_off[n_bins] * 12) != 0) {
+    delete out;
+    return nullptr;
+  }
+  // pass 2: re-read and emit
+  {
+    LineReader rd(path);
+    if (!rd.ok()) {
+      delete out;
+      return nullptr;
+    }
+    BinWriter wa(fda, std::vector<int64_t>(out->a_off.begin(),
+                                           out->a_off.end() - 1),
+                 buf_events_for(1, n_bins));
+    BinWriter wb(fdb, std::vector<int64_t>(out->b_off.begin(),
+                                           out->b_off.end() - 1),
+                 buf_events_for(1, n_bins));
+    const char* s;
+    size_t len;
+    while (rd.next(&s, &len)) {
+      PafRowN r = parse_paf_line_n(s, len);
+      if (!r.valid) continue;
+      emit_row(r, in, n_reads, chunk, &wa, &wb);
+    }
+    wa.flush_all();
+    wb.flush_all();
+    if (wa.failed() || wb.failed()) {
+      delete out;
+      return nullptr;
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" RaftPafBins* raftio_paf_bin_events(const char* path,
+                                              RaftFasta* fa,
+                                              int64_t n_reads, int64_t chunk,
+                                              const char* a_path,
+                                              const char* b_path) {
+  if (chunk <= 0 || n_reads <= 0 || !fa) return nullptr;
+  int fda = open(a_path, O_RDWR | O_CREAT | O_TRUNC, 0644);
+  if (fda < 0) return nullptr;
+  int fdb = open(b_path, O_RDWR | O_CREAT | O_TRUNC, 0644);
+  if (fdb < 0) {
+    close(fda);
+    return nullptr;
+  }
+  RaftPafBins* out = nullptr;
+  {
+    Mapped m;
+    if (map_file(path, &m) && m.n > 2 &&
+        !(static_cast<unsigned char>(m.p[0]) == 0x1f &&
+          static_cast<unsigned char>(m.p[1]) == 0x8b))
+      out = paf_bin_events_mmap(m, fa->interner, n_reads, chunk, fda, fdb);
+  }
+  if (!out)
+    out = paf_bin_events_stream(path, fa->interner, n_reads, chunk, fda,
+                                fdb);
+  close(fda);
+  close(fdb);
+  return out;
+}
+
+extern "C" void raftio_free_pafbins(RaftPafBins* b) { delete b; }
+extern "C" int64_t rpb_n_rows(RaftPafBins* b) { return b->n_rows; }
+extern "C" int rpb_symmetric(RaftPafBins* b) { return b->symmetric; }
+extern "C" int64_t rpb_n_unknown(RaftPafBins* b) { return b->n_unknown; }
+extern "C" int64_t rpb_n_bins(RaftPafBins* b) { return b->n_bins; }
+extern "C" const int64_t* rpb_a_off(RaftPafBins* b) {
+  return b->a_off.data();
+}
+extern "C" const int64_t* rpb_b_off(RaftPafBins* b) {
+  return b->b_off.data();
+}
+
+extern "C" {
+
 // ---------------------------------------------------------------------------
 // Emitters
 // ---------------------------------------------------------------------------

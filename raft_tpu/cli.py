@@ -103,7 +103,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": False, "stats_json": None,
-              "chunk_reads": None, "devices": None}
+              "chunk_reads": None, "devices": None, "spill_paf": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -134,6 +134,10 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             skip = True
         elif a.startswith("--chunk-reads="):
             extras["chunk_reads"] = int(a.split("=", 1)[1])
+        elif a == "--spill-paf":
+            extras["spill_paf"] = True
+        elif a == "--no-spill-paf":
+            extras["spill_paf"] = False
         elif a == "--devices":
             extras["devices"] = int(argv[i + 1])
             skip = True
@@ -157,6 +161,10 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --stats-json FILE       write machine-readable run stats\n"
                 "  --chunk-reads N         streaming mode: bound memory by\n"
                 "                          processing N reads at a time\n"
+                "  --spill-paf             with --chunk-reads: spill PAF\n"
+                "                          events to disk per chunk instead\n"
+                "                          of keeping rows resident (auto\n"
+                "                          for PAF files over 2 GiB)\n"
                 "  --devices N             shard_map data parallelism over\n"
                 "                          the first N local devices\n")
             raise SystemExit(0)
@@ -227,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
                          engine=extras["engine"], strict=extras["strict"],
                          use_native=extras["use_native"],
                          use_pallas=extras["pallas"], mesh=mesh,
-                         chunk_reads=extras["chunk_reads"])
+                         chunk_reads=extras["chunk_reads"],
+                         spill_paf=extras["spill_paf"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

@@ -87,6 +87,23 @@ def _configure(lib):
         fn.restype = P(C.c_int32)
         fn.argtypes = [C.c_void_p]
 
+    lib.raftio_paf_bin_events.restype = C.c_void_p
+    lib.raftio_paf_bin_events.argtypes = [
+        C.c_char_p, C.c_void_p, C.c_int64, C.c_int64, C.c_char_p, C.c_char_p]
+    lib.raftio_free_pafbins.argtypes = [C.c_void_p]
+    lib.rpb_n_rows.restype = C.c_int64
+    lib.rpb_n_rows.argtypes = [C.c_void_p]
+    lib.rpb_symmetric.restype = C.c_int
+    lib.rpb_symmetric.argtypes = [C.c_void_p]
+    lib.rpb_n_unknown.restype = C.c_int64
+    lib.rpb_n_unknown.argtypes = [C.c_void_p]
+    lib.rpb_n_bins.restype = C.c_int64
+    lib.rpb_n_bins.argtypes = [C.c_void_p]
+    lib.rpb_a_off.restype = P(C.c_int64)
+    lib.rpb_a_off.argtypes = [C.c_void_p]
+    lib.rpb_b_off.restype = P(C.c_int64)
+    lib.rpb_b_off.argtypes = [C.c_void_p]
+
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -212,6 +229,101 @@ def load_paf(path: str, store):
 
 def emit_available() -> bool:
     return _get_lib() is not None
+
+
+class PafBins:
+    """Coverage events spilled to disk, grouped by owner-read chunk.
+
+    Produced by the native two-pass PAF binner: bin ``k`` owns reads
+    ``[k*chunk, (k+1)*chunk)``; each event is ``(read_id, start,
+    end_inclusive)`` as 3x int32. A-side and B-side events live in two
+    spill files; B-side events are discarded at load time when the PAF
+    turned out to be symmetric (reference rule ``repeat.hpp:54-58``:
+    the FINAL symmetric flag gates B-side contribution).
+    """
+
+    def __init__(self, handle, lib, a_path, b_path, chunk):
+        self._h = handle
+        self._lib = lib
+        self.a_path = a_path
+        self.b_path = b_path
+        self.chunk = int(chunk)
+        self.n_rows = int(lib.rpb_n_rows(handle))
+        self.symmetric = bool(lib.rpb_symmetric(handle))
+        self.n_unknown = int(lib.rpb_n_unknown(handle))
+        self.n_bins = int(lib.rpb_n_bins(handle))
+        self.a_off = _as_array(lib.rpb_a_off(handle), self.n_bins + 1,
+                               np.int64).copy()
+        self.b_off = _as_array(lib.rpb_b_off(handle), self.n_bins + 1,
+                               np.int64).copy()
+
+    def events_for_bin(self, k: int):
+        """(ev_read, ev_lo, ev_hi) for bin ``k``, global read ids."""
+        parts = [(self.a_path, self.a_off)]
+        if not self.symmetric:
+            parts.append((self.b_path, self.b_off))
+        cols = [[], [], []]
+        for path, off in parts:
+            n_ev = int(off[k + 1] - off[k])
+            if n_ev == 0:
+                continue
+            flat = np.fromfile(path, dtype=np.int32, count=3 * n_ev,
+                               offset=int(off[k]) * 12).reshape(-1, 3)
+            cols[0].append(flat[:, 0])
+            cols[1].append(flat[:, 1])
+            cols[2].append(flat[:, 2])
+        if not cols[0]:
+            z = np.empty(0, dtype=np.int32)
+            return z, z.copy(), z.copy()
+        return tuple(np.ascontiguousarray(np.concatenate(c)) for c in cols)
+
+    def close(self):
+        if self._h:
+            self._lib.raftio_free_pafbins(self._h)
+            self._h = None
+        for p in (self.a_path, self.b_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+    def __del__(self):
+        self.close()
+
+
+def bin_paf_events(path: str, store, n_reads: int, chunk: int,
+                   spill_dir: str | None = None):
+    """Two-pass native PAF parse spilling per-bin coverage events to disk.
+
+    ``store`` must carry a native FASTA handle (interner). Returns a
+    :class:`PafBins` or None when the native layer is unavailable.
+    Unknown read names are counted (``n_unknown``) and dropped — the
+    caller decides whether that is an error (strict mode).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    h = getattr(store, "_native_handle", None)
+    if isinstance(store, dict):  # index_reads() result
+        h = store.get("handle")
+    if h is None or h._ptr is None:
+        return None
+    import tempfile
+    d = spill_dir or tempfile.gettempdir()
+    fd_a, a_path = tempfile.mkstemp(prefix="raft_eva_", suffix=".bin", dir=d)
+    fd_b, b_path = tempfile.mkstemp(prefix="raft_evb_", suffix=".bin", dir=d)
+    os.close(fd_a)
+    os.close(fd_b)
+    ptr = lib.raftio_paf_bin_events(path.encode(), h._ptr, n_reads, chunk,
+                                    a_path.encode(), b_path.encode())
+    if not ptr:
+        for p in (a_path, b_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        return None
+    return PafBins(ptr, lib, a_path, b_path, chunk)
 
 
 def index_reads(path: str):

@@ -143,6 +143,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  verbose: bool = True, use_native: bool | None = None,
                  use_pallas: bool = False, mesh=None,
                  chunk_reads: int | None = None,
+                 spill_paf: bool | None = None,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files.
 
@@ -151,12 +152,17 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     reference holds ~3.4x the input resident, SURVEY.md §2; this bounds
     the blob at one chunk). Plain FASTA only; other inputs fall back to
     the whole-file path.
+
+    ``spill_paf``: in streaming mode, additionally bound *overlap* memory:
+    a native two-pass PAF parse spills per-chunk coverage events to disk
+    instead of keeping the row columns resident (~24 B/row). ``None``
+    auto-enables for PAF files over 2 GiB.
     """
     if chunk_reads:
         st = _run_pipeline_chunked(read_path, paf_path, params,
                                    chunk_reads, strict=strict,
                                    verbose=verbose, use_pallas=use_pallas,
-                                   mesh=mesh)
+                                   mesh=mesh, spill_paf=spill_paf)
         if st is not None:
             return st
         if verbose:
@@ -235,7 +241,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                           chunk_reads: int, strict: bool = True,
                           verbose: bool = True, use_pallas: bool = False,
-                          mesh=None) -> RunStats | None:
+                          mesh=None,
+                          spill_paf: bool | None = None) -> RunStats | None:
     """Streaming pipeline: index pass → full PAF → per-chunk byte-range
     parse, compute, and append-emit with global numbering offsets.
 
@@ -243,6 +250,10 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     so chunk boundaries cannot change any output byte (enforced by
     tests/test_streaming.py). Returns None when the input cannot be
     indexed (gz/FASTQ) so the caller falls back.
+
+    With ``spill_paf`` (default: auto for PAF > 2 GiB) the overlap table
+    is never resident either: a native two-pass parse writes per-chunk
+    coverage events to spill files read back one chunk at a time.
     """
     from raft_tpu.io import native
     from raft_tpu.io.fasta import (parse_sim_align, parse_sim_chr,
@@ -260,30 +271,49 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     if verbose:
         print(f"Real Reads {int(idx['real_reads'])} ")
 
-    with _Timer(stats, "load_paf"):
-        # PAF interns against the index handle's global name map
-        class _IdxStore:
-            pass
-        shim = _IdxStore()
-        shim._native_handle = idx["handle"]
-        table = native.load_paf(paf_path, shim)
-        if table is None:
-            return None
+    if spill_paf is None:
+        spill_paf = os.path.getsize(paf_path) > (2 << 30)
+
+    bins = None
+    table = None
+    if spill_paf:
+        with _Timer(stats, "load_paf"):
+            bins = native.bin_paf_events(paf_path, idx, n, chunk_reads)
+        if bins is not None and strict and bins.n_unknown:
+            bins.close()
+            raise ValueError(
+                f"PAF names {bins.n_unknown} read(s) absent from the input "
+                "FASTA (undefined behavior in reference RAFT); "
+                "pass strict=False to drop them")
+    if bins is None:
+        with _Timer(stats, "load_paf"):
+            # PAF interns against the index handle's global name map
+            class _IdxStore:
+                pass
+            shim = _IdxStore()
+            shim._native_handle = idx["handle"]
+            table = native.load_paf(paf_path, shim)
+            if table is None:
+                return None
+
+    symmetric = bins.symmetric if bins is not None else table.symmetric
+    n_paf_rows = bins.n_rows if bins is not None else table.n_rows
     if verbose:
-        print(f"INFO, Symmetric overlaps {int(table.symmetric)} ")
-        print(f"INFO, length of alignments  {table.n_rows}()")
+        print(f"INFO, Symmetric overlaps {int(symmetric)} ")
+        print(f"INFO, length of alignments  {n_paf_rows}()")
 
     params = params.replace(real_reads=idx["real_reads"],
-                            symmetric_overlaps=table.symmetric)
+                            symmetric_overlaps=symmetric)
     if verbose:
         print(f"high_cov {params.high_cov}")
 
-    # all events once (columnar, ~8B/event) sorted by read id
-    ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
-    order = np.argsort(ev_read, kind="stable")
-    ev_read = ev_read[order]
-    ev_lo = ev_lo[order]
-    ev_hi = ev_hi[order]
+    if bins is None:
+        # all events once (columnar, ~8B/event) sorted by read id
+        ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
+        order = np.argsort(ev_read, kind="stable")
+        ev_read = ev_read[order]
+        ev_lo = ev_lo[order]
+        ev_hi = ev_hi[order]
 
     prefix = params.outputfilename
     rec_off = idx["rec_off"]
@@ -305,9 +335,14 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
             store.align = [parse_sim_align(nm) for nm in cn]
             store.chrom = [parse_sim_chr(nm) for nm in cn]
 
-        a, b = np.searchsorted(ev_read, [lo, hi])
-        sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b], ev_hi[a:b],
-                                table.symmetric)
+        if bins is not None:
+            with _Timer(stats, "load_paf"):
+                er, el, eh = bins.events_for_bin(lo // chunk_reads)
+            sub_table = _EventTable(er - lo, el, eh, symmetric)
+        else:
+            a, b = np.searchsorted(ev_read, [lo, hi])
+            sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b],
+                                    ev_hi[a:b], symmetric)
         with _Timer(stats, "compute"):
             res = compute_jax(store, sub_table, params, strict=strict,
                               use_pallas=use_pallas, mesh=mesh)
@@ -330,9 +365,11 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         first = False
 
     stats.n_reads = n
-    stats.n_paf_rows = table.n_rows
-    stats.symmetric = table.symmetric
+    stats.n_paf_rows = n_paf_rows
+    stats.symmetric = symmetric
     stats.n_fragments = frag_num - 1
+    if bins is not None:
+        bins.close()
     if verbose:
         print(f"coverage per window is {stats.coverage_per_window:f} ")
         print("coverage per window/average coverage is "

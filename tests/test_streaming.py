@@ -37,6 +37,77 @@ def test_chunked_equals_whole(tmp_path, chunk, simulated):
         assert a == b, f"{ext} differs at chunk={chunk}"
 
 
+@pytest.mark.parametrize("chunk", [1, 7, 1000])
+@pytest.mark.parametrize("mode", ["real", "simulated", "symmetric"])
+def test_spill_paf_equals_whole(tmp_path, chunk, mode):
+    """--spill-paf streaming (native binned event spill) is byte-exact."""
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=890, tmpdir=tmp, n_reads=29,
+                                       simulated=mode == "simulated",
+                                       symmetric=mode == "symmetric")
+    run_pipeline(reads, paf, _params(tmp, "whole"), engine="jax",
+                 verbose=False)
+    st = run_pipeline(reads, paf, _params(tmp, "spill"), engine="jax",
+                      verbose=False, chunk_reads=chunk, spill_paf=True)
+    assert st.n_reads == 29
+    for ext in OUTS:
+        a = (tmp_path / f"whole{ext}").read_bytes()
+        b = (tmp_path / f"spill{ext}").read_bytes()
+        assert a == b, f"{ext} differs at chunk={chunk} mode={mode}"
+
+
+def test_bin_events_match_table_events(tmp_path):
+    """Native binned spill produces the same event multiset per chunk as
+    the resident OverlapTable.events() grouping."""
+    import numpy as np
+    from raft_tpu.io import native
+    from raft_tpu.io.fasta import load_reads
+    from raft_tpu.io.paf import load_paf
+
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=891, tmpdir=tmp, n_reads=23)
+    store = load_reads(reads)
+    table = load_paf(paf, store)
+    n = store.n_reads
+    chunk = 5
+    bins = native.bin_paf_events(paf, store, n, chunk, spill_dir=tmp)
+    assert bins is not None
+    assert bins.symmetric == table.symmetric
+    assert bins.n_rows == table.n_rows
+    assert bins.n_unknown == 0
+
+    ev_read, ev_lo, ev_hi = table.events(n)
+    for k in range(bins.n_bins):
+        lo, hi = k * chunk, min((k + 1) * chunk, n)
+        m = (ev_read >= lo) & (ev_read < hi)
+        want = np.stack([ev_read[m], ev_lo[m], ev_hi[m]], axis=1)
+        er, el, eh = bins.events_for_bin(k)
+        got = np.stack([er, el, eh], axis=1)
+        want = want[np.lexsort(want.T[::-1])]
+        got = got[np.lexsort(got.T[::-1])]
+        assert np.array_equal(want, got), f"bin {k} events differ"
+    bins.close()
+    import os
+    assert not os.path.exists(bins.a_path)
+
+
+def test_spill_strict_unknown_name_errors(tmp_path):
+    """A PAF row naming a read absent from the FASTA raises in strict
+    mode (the reference overruns its pileup array: chop.hpp:165 vs
+    sizing at 361-364) and is dropped with strict=False."""
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=892, tmpdir=tmp, n_reads=6)
+    with open(paf, "a") as f:
+        f.write("ghost\t900\t10\t200\t+\tghost2\t900\t10\t200\t190\n")
+    with pytest.raises(ValueError):
+        run_pipeline(reads, paf, _params(tmp, "strictfail"), engine="jax",
+                     verbose=False, chunk_reads=3, spill_paf=True)
+    st = run_pipeline(reads, paf, _params(tmp, "lax"), engine="jax",
+                      verbose=False, chunk_reads=3, spill_paf=True,
+                      strict=False)
+    assert st.n_reads == 6
+
+
 def test_chunked_falls_back_on_gz(tmp_path):
     tmp = str(tmp_path)
     reads, paf = datagen.standard_case(seed=889, tmpdir=tmp, n_reads=8,
