@@ -139,6 +139,164 @@ bool map_file(const char* path, Mapped* m) {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// gzip → memory decompression.
+//
+// BGZF files (gzip members carrying the BC extra subfield, ≤64 KB
+// uncompressed per block — bgzip/samtools output) decompress
+// block-parallel across threads. Plain gzip streams on one thread.
+// Either way the result is one contiguous buffer the multi-threaded
+// parsers run on, so gz inputs reach plain-file parse speeds instead of
+// the single-thread gzread line reader. (The reference reads all inputs
+// through single-thread kseq+zlib, /root/reference/kseq.h + paf.hpp:7.)
+// ---------------------------------------------------------------------------
+int n_parse_threads();
+
+struct BgzfBlock {
+  size_t off;         // byte offset of the gzip member
+  uint32_t data_off;  // offset of the raw-deflate payload within the member
+  uint32_t comp_len;  // payload length
+  uint32_t isize;     // uncompressed size (≤ 65536 per spec)
+  size_t out_off;     // exclusive-scan of isize
+};
+
+inline uint32_t le16(const char* p) {
+  return static_cast<uint8_t>(p[0]) | (static_cast<uint8_t>(p[1]) << 8);
+}
+inline uint32_t le32(const char* p) {
+  return le16(p) | (le16(p + 2) << 16);
+}
+
+bool bgzf_index(const char* p, size_t n, std::vector<BgzfBlock>* blocks,
+                size_t* total_out) {
+  size_t i = 0;
+  *total_out = 0;
+  while (i < n) {
+    if (i + 18 > n) return false;
+    if (static_cast<uint8_t>(p[i]) != 0x1f ||
+        static_cast<uint8_t>(p[i + 1]) != 0x8b ||
+        static_cast<uint8_t>(p[i + 2]) != 8 ||
+        !(static_cast<uint8_t>(p[i + 3]) & 4))
+      return false;  // not a gzip member with FEXTRA → not BGZF
+    uint32_t xlen = le16(p + i + 10);
+    if (i + 12 + xlen > n) return false;
+    uint32_t bsize = 0;
+    bool found = false;
+    for (uint32_t so = 0; so + 4 <= xlen;) {
+      const char* sf = p + i + 12 + so;
+      uint32_t slen = le16(sf + 2);
+      if (sf[0] == 'B' && sf[1] == 'C' && slen == 2) {
+        bsize = le16(sf + 4) + 1;  // BSIZE = total member size − 1
+        found = true;
+        break;
+      }
+      so += 4 + slen;
+    }
+    if (!found || bsize < 12 + xlen + 8 || i + bsize > n) return false;
+    uint32_t isize = le32(p + i + bsize - 4);
+    if (isize > (1u << 16)) return false;
+    blocks->push_back({i, 12 + xlen, bsize - 12 - xlen - 8, isize,
+                       *total_out});
+    *total_out += isize;
+    i += bsize;
+  }
+  return !blocks->empty();
+}
+
+bool bgzf_inflate_blocks(const char* p, const std::vector<BgzfBlock>& blocks,
+                         char* out) {
+  const int T = n_parse_threads();
+  const size_t B = blocks.size();
+  std::vector<char> fail(T, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    threads.emplace_back([&, t]() {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        fail[t] = 1;
+        return;
+      }
+      for (size_t k = B * t / T; k < B * (t + 1) / T; k++) {
+        const BgzfBlock& b = blocks[k];
+        if (b.isize == 0) continue;  // EOF marker block
+        inflateReset(&zs);
+        zs.next_in = reinterpret_cast<Bytef*>(
+            const_cast<char*>(p + b.off + b.data_off));
+        zs.avail_in = b.comp_len;
+        zs.next_out = reinterpret_cast<Bytef*>(out + b.out_off);
+        zs.avail_out = b.isize;
+        int r = inflate(&zs, Z_FINISH);
+        if (r != Z_STREAM_END || zs.avail_out != 0) {
+          fail[t] = 1;
+          return;
+        }
+      }
+      inflateEnd(&zs);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; t++)
+    if (fail[t]) return false;
+  return true;
+}
+
+// Decompress a whole gz file into `out`: BGZF in parallel, else one
+// streaming gzread pass (handles multi-member and raw-looking inputs).
+bool gunzip_all(const char* path, const char* p, size_t n,
+                std::vector<char>* out) {
+  {
+    std::vector<BgzfBlock> blocks;
+    size_t total = 0;
+    if (bgzf_index(p, n, &blocks, &total)) {
+      out->resize(total);
+      if (bgzf_inflate_blocks(p, blocks, out->data())) return true;
+      out->clear();  // corrupt block: fall through to streaming
+    }
+  }
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  gzbuffer(f, 1 << 20);
+  out->clear();
+  out->reserve(n * 3);
+  std::vector<char> chunk(1 << 22);
+  for (;;) {
+    int r = gzread(f, chunk.data(), static_cast<unsigned>(chunk.size()));
+    if (r < 0) {
+      gzclose(f);
+      return false;
+    }
+    if (r == 0) break;
+    out->insert(out->end(), chunk.data(), chunk.data() + r);
+  }
+  gzclose(f);
+  return true;
+}
+
+// A parse input: plain files are mmapped; gz files are decompressed to a
+// heap buffer — so the threaded parsers always see contiguous bytes.
+struct Source {
+  Mapped m;
+  std::vector<char> buf;
+  const char* p = nullptr;
+  size_t n = 0;
+  bool ok() const { return p != nullptr && n > 0; }
+};
+
+bool open_source(const char* path, Source* s) {
+  if (!map_file(path, &s->m)) return false;
+  if (s->m.n >= 2 && static_cast<uint8_t>(s->m.p[0]) == 0x1f &&
+      static_cast<uint8_t>(s->m.p[1]) == 0x8b) {
+    if (!gunzip_all(path, s->m.p, s->m.n, &s->buf)) return false;
+    s->p = s->buf.data();
+    s->n = s->buf.size();
+  } else {
+    s->p = s->m.p;
+    s->n = s->m.n;
+  }
+  return s->ok();
+}
+
 size_t mt_threshold() {
   const char* env = getenv("RAFT_IO_MT_THRESHOLD");
   if (env && *env) return static_cast<size_t>(strtoull(env, nullptr, 10));
@@ -306,10 +464,6 @@ void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
 RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
                                      size_t range_lo, size_t range_hi);
 
-RaftFasta* load_fasta_threaded(const Mapped& m) {
-  return load_fasta_threaded_range(m.p, m.n, 0, m.n);
-}
-
 // Name + byte-offset index over the whole file (no sequence copies):
 // the cheap first pass of the streaming (beyond-RAM) pipeline mode.
 RaftFasta* index_fasta_threaded(const Mapped& m) {
@@ -432,9 +586,10 @@ extern "C" {
 
 RaftFasta* raftio_load_fasta(const char* path) {
   {
-    Mapped m;
-    if (map_file(path, &m) && m.n > mt_threshold() && m.p[0] == '>') {
-      RaftFasta* fa = load_fasta_threaded(m);
+    Source src;
+    if (open_source(path, &src) && src.n > mt_threshold() &&
+        src.p[0] == '>') {
+      RaftFasta* fa = load_fasta_threaded_range(src.p, src.n, 0, src.n);
       if (fa) return fa;
     }
   }
@@ -624,9 +779,7 @@ void parse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
   }
 }
 
-RaftPaf* load_paf_threaded(const Mapped& m, RaftFasta* fa) {
-  const char* p = m.p;
-  const size_t n = m.n;
+RaftPaf* load_paf_threaded(const char* p, size_t n, RaftFasta* fa) {
   // row 0 = first valid (>=10 col) row, needed by every thread's mirror
   // test; identified by byte offset so no thread ever compares it to
   // itself (the reference skips exactly record 0, chop.hpp:171-184)
@@ -694,9 +847,9 @@ RaftPaf* load_paf_threaded(const Mapped& m, RaftFasta* fa) {
 
 RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
   {
-    Mapped m;
-    if (map_file(path, &m) && m.n > mt_threshold()) {
-      RaftPaf* pf = load_paf_threaded(m, fa);
+    Source src;
+    if (open_source(path, &src) && src.n > mt_threshold()) {
+      RaftPaf* pf = load_paf_threaded(src.p, src.n, fa);
       if (pf) return pf;
     }
   }
@@ -979,11 +1132,10 @@ int buf_events_for(int T, int64_t n_bins) {
   return static_cast<int>(per);
 }
 
-RaftPafBins* paf_bin_events_mmap(const Mapped& m, const Interner& in,
+RaftPafBins* paf_bin_events_mmap(const char* p, size_t n,
+                                 const Interner& in,
                                  int64_t n_reads, int64_t chunk,
                                  int fda, int fdb) {
-  const char* p = m.p;
-  const size_t n = m.n;
   const int64_t n_bins = (n_reads + chunk - 1) / chunk;
 
   // row 0 = first valid row, identified by byte offset (the reference's
@@ -1186,11 +1338,10 @@ extern "C" RaftPafBins* raftio_paf_bin_events(const char* path,
   }
   RaftPafBins* out = nullptr;
   {
-    Mapped m;
-    if (map_file(path, &m) && m.n > 2 &&
-        !(static_cast<unsigned char>(m.p[0]) == 0x1f &&
-          static_cast<unsigned char>(m.p[1]) == 0x8b))
-      out = paf_bin_events_mmap(m, fa->interner, n_reads, chunk, fda, fdb);
+    Source src;
+    if (open_source(path, &src))
+      out = paf_bin_events_mmap(src.p, src.n, fa->interner, n_reads,
+                                chunk, fda, fdb);
   }
   if (!out)
     out = paf_bin_events_stream(path, fa->interner, n_reads, chunk, fda,

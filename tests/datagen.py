@@ -115,6 +115,30 @@ def write_fasta(path: str, reads, line_width: int | None = None,
                 f.write(f">{name}\n{seq}\n")
 
 
+def write_bgzf(path: str, data: bytes, block: int = 60000) -> None:
+    """Write BGZF (blocked gzip with the BC extra subfield, as produced
+    by bgzip/samtools): each <=64KB chunk becomes one gzip member whose
+    extra field carries the total member size."""
+    import struct
+    import zlib
+    out = bytearray()
+    for i in range(0, len(data), block):
+        chunk = data[i:i + block]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(chunk) + co.flush()
+        bsize = 12 + 6 + len(payload) + 8  # header+xtra, payload, trailer
+        out += struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+        out += struct.pack("<BBHH", ord("B"), ord("C"), 2, bsize - 1)
+        out += payload
+        out += struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF,
+                           len(chunk))
+    # 28-byte EOF marker block
+    out += bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def write_paf(path: str, lines, gz: bool = False) -> None:
     op = gzip.open if gz else open
     with op(path, "wt") as f:

@@ -95,3 +95,54 @@ def test_threaded_unknown_name_falls_back(tmp_path, monkeypatch):
     nt = load_paf(pp, ns, use_native=True)
     assert nt.a_id[0] == 0
     assert nt.b_id[0] == 1  # interned past the FASTA ids
+
+
+@pytest.mark.parametrize("fmt", ["bgzf", "gz"])
+def test_gz_threaded_parse_equals_python(tmp_path, monkeypatch, fmt):
+    """gz inputs now reach the threaded parsers (BGZF block-parallel,
+    plain gz via a one-shot inflate to memory): results must equal the
+    pure-Python parse of the same data."""
+    monkeypatch.setenv("RAFT_IO_MT_THRESHOLD", "0")
+    monkeypatch.setenv("RAFT_IO_THREADS", "3")
+    import gzip as _gzip
+    reads_plain, paf_plain = datagen.standard_case(
+        seed=77, tmpdir=str(tmp_path), n_reads=30)
+    rp = str(tmp_path / f"reads.{fmt}.fasta.gz")
+    pp = str(tmp_path / f"overlaps.{fmt}.paf.gz")
+    for src, dst in ((reads_plain, rp), (paf_plain, pp)):
+        data = open(src, "rb").read()
+        if fmt == "bgzf":
+            datagen.write_bgzf(dst, data, block=4096)
+        else:
+            with _gzip.open(dst, "wb") as f:
+                f.write(data)
+    ns = load_reads(rp, use_native=True)
+    ps = _load_reads_py(reads_plain)
+    _assert_stores_equal(ns, ps)
+    nt = load_paf(pp, ns, use_native=True)
+    pt = _load_paf_py(paf_plain, ps)
+    _assert_tables_equal(nt, pt)
+
+
+def test_bgzf_pipeline_parity_with_plain(tmp_path, monkeypatch):
+    """End-to-end run on BGZF inputs is byte-identical to the plain run."""
+    monkeypatch.setenv("RAFT_IO_MT_THRESHOLD", "0")
+    from raft_tpu.params import AlgoParams
+    from raft_tpu.pipeline import run_pipeline
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=78, tmpdir=tmp, n_reads=24)
+    datagen.write_bgzf(f"{tmp}/r.fa.gz", open(reads, "rb").read(),
+                       block=2048)
+    datagen.write_bgzf(f"{tmp}/o.paf.gz", open(paf, "rb").read(),
+                       block=2048)
+    P = lambda nm: AlgoParams(est_cov=10, cov_mul=1.3, repeat_length=2000,
+                              interval_length=2000, read_length=4000,
+                              flanking_length=300, overlap_length=200,
+                              outputfilename=f"{tmp}/{nm}")
+    run_pipeline(reads, paf, P("plain"), engine="jax", verbose=False)
+    run_pipeline(f"{tmp}/r.fa.gz", f"{tmp}/o.paf.gz", P("bg"),
+                 engine="jax", verbose=False)
+    for ext in (".reads.fasta", ".coverage.txt", ".long_repeats.txt",
+                ".long_repeats.bed"):
+        assert (tmp_path / f"plain{ext}").read_bytes() == \
+            (tmp_path / f"bg{ext}").read_bytes(), ext
