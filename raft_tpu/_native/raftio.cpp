@@ -1369,6 +1369,8 @@ extern "C" {
 // Emitters
 // ---------------------------------------------------------------------------
 
+}  // extern "C"
+
 namespace {
 class BufWriter {
  public:
@@ -1420,7 +1422,71 @@ class BufWriter {
   std::vector<char> buf_;
   size_t n_;
 };
+
+// Growable in-memory writer with BufWriter's interface: the unit of the
+// parallel emitters — each thread renders a contiguous item shard into
+// its own MemWriter, then the shards are written to the file in order
+// (bytes identical to a single-threaded render; the formatting, which
+// dominates emit cost, runs on all cores).
+class MemWriter {
+ public:
+  inline void put(const char* s, size_t n) { buf_.insert(buf_.end(), s, s + n); }
+  inline void putc(char c) { buf_.push_back(c); }
+  inline void putint(int64_t v) {
+    char tmp[24];
+    int k = 0;
+    if (v < 0) {
+      buf_.push_back('-');
+      v = -v;
+    }
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (k) buf_.push_back(tmp[--k]);
+  }
+  const std::vector<char>& data() const { return buf_; }
+
+ private:
+  std::vector<char> buf_;
+};
+
+// Render items [0, n_items) with render(writer, lo, hi) sharded over
+// threads, then write shards to `path` in order. Small item counts
+// render single-threaded straight into the file buffer.
+template <class RenderFn>
+int emit_sharded(const char* path, int64_t n_items, int append,
+                 RenderFn render) {
+  const int T = n_parse_threads();
+  if (n_items < 4096 || T == 1) {
+    BufWriter w(path, append != 0);
+    if (!w.ok()) return -1;
+    render(w, static_cast<int64_t>(0), n_items);
+    return 0;
+  }
+  std::vector<MemWriter> shards(T);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    int64_t lo = n_items * t / T;
+    int64_t hi = n_items * (t + 1) / T;
+    threads.emplace_back(
+        [&shards, t, lo, hi, &render]() { render(shards[t], lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+  FILE* f = fopen(path, append ? "ab" : "wb");
+  if (!f) return -1;
+  for (auto& s : shards)
+    if (!s.data().empty() &&
+        fwrite(s.data().data(), 1, s.data().size(), f) != s.data().size()) {
+      fclose(f);
+      return -1;
+    }
+  fclose(f);
+  return 0;
+}
 }  // namespace
+
+extern "C" {
 
 // Fragment FASTA: headers are pre-rendered by the caller (hdr_blob with
 // hdr_off offsets, one per fragment; empty header → no header line, which
@@ -1459,9 +1525,8 @@ int raftio_emit_frags_full(
     const int64_t* end_pos, const char* align_blob,
     const int64_t* align_off, const char* suffix_blob,
     const int64_t* suffix_off, int64_t first_read_num, int append) {
-  BufWriter w(path, append != 0);
-  if (!w.ok()) return -1;
-  for (int64_t j = 0; j < n_frags; j++) {
+  auto render = [&](auto& w, int64_t jlo, int64_t jhi) {
+  for (int64_t j = jlo; j < jhi; j++) {
     int64_t i = frag_read[j];
     int64_t cs = char_start[j];
     int64_t cl = char_len[j];
@@ -1510,7 +1575,8 @@ int raftio_emit_frags_full(
     w.put(seq_blob + seq_off[i] + cs, static_cast<size_t>(cl));
     w.putc('\n');
   }
-  return 0;
+  };
+  return emit_sharded(path, n_frags, append, render);
 }
 
 // coverage.txt: "read {i} " + "{w*reso},{cov} " per window + "\n"
@@ -1519,9 +1585,8 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
                          const int64_t* cov_off, int64_t n_reads,
                          int32_t reso, int64_t first_read_index,
                          int append) {
-  BufWriter w(path, append != 0);
-  if (!w.ok()) return -1;
-  for (int64_t i = 0; i < n_reads; i++) {
+  auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
+  for (int64_t i = ilo; i < ihi; i++) {
     w.put("read ", 5);
     w.putint(first_read_index + i);
     w.putc(' ');
@@ -1535,7 +1600,8 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
     }
     w.putc('\n');
   }
-  return 0;
+  };
+  return emit_sharded(path, n_reads, append, render);
 }
 
 // long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
@@ -1543,9 +1609,8 @@ int raftio_emit_repeats(const char* path, const int32_t* rep_s,
                         const int32_t* rep_e, const int64_t* rep_off,
                         int64_t n_reads, int64_t first_read_index,
                         int append) {
-  BufWriter w(path, append != 0);
-  if (!w.ok()) return -1;
-  for (int64_t i = 0; i < n_reads; i++) {
+  auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
+  for (int64_t i = ilo; i < ihi; i++) {
     w.put("read ", 5);
     w.putint(first_read_index + i);
     w.put(", ", 2);
@@ -1557,7 +1622,8 @@ int raftio_emit_repeats(const char* path, const int32_t* rep_s,
     }
     w.putc('\n');
   }
-  return 0;
+  };
+  return emit_sharded(path, n_reads, append, render);
 }
 
 }  // extern "C"
