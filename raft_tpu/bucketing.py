@@ -59,7 +59,8 @@ class Bucket:
 def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  ev_hi: np.ndarray, reso: int,
                  min_w: int = 64, max_rows: int = 4096,
-                 row_quantum: int = 8, min_rows: int = 256) -> list[Bucket]:
+                 row_quantum: int = 8, min_rows: int = 256,
+                 max_cells: int = 1 << 23) -> list[Bucket]:
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
     pure vectorized numpy.
@@ -68,6 +69,11 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     each bucket costs a device round trip (latency-bound on tunneled
     links) and a compiled shape, so padding a few short reads further is
     cheaper than paying another dispatch.
+
+    ``max_cells`` bounds B*W per bucket: ultralong-read tiers (large W,
+    e.g. megabase ONT reads) take proportionally fewer rows per dispatch
+    so device arrays stay ~``4*max_cells`` bytes regardless of read
+    length distribution.
     """
     n = len(lens)
     nw = -(-lens.astype(np.int64) // reso)  # ceil; len 0 → 0 windows
@@ -99,11 +105,12 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     buckets: list[Bucket] = []
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]
+        rows_cap = max(row_quantum, min(max_rows, max_cells // int(key)))
         # one SHARED (B, E) shape for every chunk of a tier: each distinct
         # jit shape costs a compile (seconds over tunneled links), so
         # chunks of the same W tier pad to the worst chunk instead
-        chunks = [rids_all[c0:c0 + max_rows]
-                  for c0 in range(0, len(rids_all), max_rows)]
+        chunks = [rids_all[c0:c0 + rows_cap]
+                  for c0 in range(0, len(rids_all), rows_cap)]
         B_shared = _next_size(max(len(c) for c in chunks), lo=row_quantum)
         E_shared = _next_size(
             max(max(int(ev_counts[c].sum()) for c in chunks), 1), lo=64)

@@ -357,14 +357,14 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
         for bk, cfg, args, out in ex.map(_fetch, outs):
             if "diff8" in out:
-                if bool(np.all(out["ok8"])):
-                    cov = np.cumsum(out.pop("diff8"), axis=1,
-                                    dtype=np.int32)
-                else:
-                    # rare: a window's increment exceeded int8 — refetch
-                    cfg32 = dataclasses.replace(cfg, cov_out="int32")
-                    out32 = jax.device_get(step(*args, cfg=cfg32))
-                    cov = out32["cov"]
+                cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
+                bad = np.nonzero(~np.asarray(out["ok8"]))[0]
+                if len(bad):
+                    # rare: a window gained/lost >127 intervals, so the
+                    # int8 diff wrapped for these rows — rebuild exactly
+                    # on host from the bucket's own events (no second
+                    # device round trip, cost bounded per bad row)
+                    _host_cov_rows(bk, n_shards, bad, cov)
                 out["cov"] = cov
             fetched.append((bk, out))
     outs = fetched
@@ -425,6 +425,35 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         total_repeat_length=total_rep_len,
         total_read_length=int(lens.astype(np.int64).sum()),
     )
+
+
+def _host_cov_rows(bk, n_shards: int, bad: np.ndarray,
+                   cov: np.ndarray) -> None:
+    """Recompute int32 coverage for rows ``bad`` of a bucket from its own
+    events (the same diff+cumsum the device runs, repeat.hpp:62-77
+    semantics) and write them into ``cov`` in place.
+
+    Sharded buckets store shard-local row ids per event slab; map them
+    back to global rows first.
+    """
+    W = cov.shape[1]
+    rows = np.asarray(bk.ev_row, dtype=np.int64)
+    if n_shards > 1:
+        B_local = bk.B // n_shards
+        E_s = bk.E // n_shards
+        slab = np.arange(len(rows), dtype=np.int64) // E_s
+        rows = np.where(rows >= B_local, bk.B, slab * B_local + rows)
+    w0 = np.asarray(bk.ev_w0, dtype=np.int64)
+    w1 = np.asarray(bk.ev_w1, dtype=np.int64)
+    sel = (np.isin(rows, bad) & (w1 >= w0)
+           & (w0 >= 0) & (w0 <= W) & (w1 + 1 <= W))
+    remap = np.full(int(bk.B) + 1, -1, dtype=np.int64)
+    remap[bad] = np.arange(len(bad))
+    r = remap[rows[sel]]
+    d = np.zeros((len(bad), W + 1), dtype=np.int32)
+    np.add.at(d, (r, w0[sel]), 1)
+    np.add.at(d, (r, w1[sel] + 1), -1)
+    cov[bad] = np.cumsum(d[:, :W], axis=1)
 
 
 def _validate_events(lens, ev_read, ev_lo, ev_hi, reso):

@@ -84,3 +84,50 @@ def test_engines_equal_random():
     cov, reps, frags, st = compute_oracle(store, table, params)
     want = from_per_read_lists(store.n_reads, cov, reps, frags, st)
     _assert_equal(res, want)
+
+
+def test_bucket_area_cap():
+    """Large-W tiers take proportionally fewer rows per bucket so device
+    arrays stay bounded (~max_cells cells) for ultralong reads."""
+    from raft_tpu import bucketing
+    rng = np.random.default_rng(9)
+    lens = np.full(600, 2_500_000, dtype=np.int64)  # W tier 65536 @ reso 50
+    ev = np.empty(0, dtype=np.int32)
+    buckets = bucketing.make_buckets(lens.astype(np.int32), ev, ev, ev, 50)
+    assert all(b.W == 65536 for b in buckets)
+    assert all(b.B * b.W <= (1 << 23) for b in buckets)
+    assert sum(b.n_used for b in buckets) == 600
+    # short reads keep wide batches
+    lens2 = np.full(600, 20_000, dtype=np.int32)
+    b2 = bucketing.make_buckets(lens2, ev, ev, ev, 50)
+    assert sum(b.n_used for b in b2) == 600
+    assert max(b.B for b in b2) >= 600
+
+
+def test_ultralong_reads_end_to_end():
+    """Megabase reads (ultralong ONT scale) through the device engine:
+    results must match the oracle exactly with the area-capped tiles."""
+    rng = np.random.default_rng(11)
+    lens = [2_500_000, 2_100_000, 20_000, 500]
+    rows = []
+    for _ in range(300):
+        a = int(rng.integers(0, 4))
+        b = int(rng.integers(0, 4))
+        qs = int(rng.integers(0, lens[a]))
+        qe = int(rng.integers(qs + 1, lens[a] + 1))
+        ts = int(rng.integers(0, lens[b]))
+        te = int(rng.integers(ts + 1, lens[b] + 1))
+        rows.append((a, qs, qe, b, ts, te))
+    # a qualifying repeat run deep inside the first ultralong read
+    rows += [(0, 1_000_000, 1_040_000, 1, 0, 40_000)] * 40
+    store = _mk_store(lens)
+    table = _mk_table(rows)
+    table.symmetric = False
+    params = AlgoParams(est_cov=5, cov_mul=1.2, repeat_length=10000,
+                        interval_length=10000, read_length=20000,
+                        overlap_length=500, flanking_length=1000)
+    res = compute_jax(store, table, params)
+    cov, reps, frags, st = compute_oracle(store, table, params)
+    want = from_per_read_lists(4, cov, reps, frags, st)
+    _assert_equal(res, want)
+    assert res.total_read_length == sum(lens)

@@ -64,3 +64,32 @@ def test_sharded_matches_single_smaller_mesh(tmp_path):
     np.testing.assert_array_equal(r1.cov_flat, r4.cov_flat)
     np.testing.assert_array_equal(r1.frag_char_start, r4.frag_char_start)
     np.testing.assert_array_equal(r1.frag_char_len, r4.frag_char_len)
+
+
+def test_sharded_int8_overflow_host_rebuild():
+    """Rows whose diff exceeds int8 are rebuilt on host from shard-local
+    event slabs: the global-row remap must be exact under shard_map."""
+    from raft_tpu.io.paf import OverlapTable
+    from raft_tpu.io.fasta import ReadStore
+
+    lens = np.asarray([5000] * 16, dtype=np.int32)
+    off = np.zeros(17, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    store = ReadStore(names=[f"r{i}" for i in range(16)],
+                      seq_blob=b"A" * int(lens.sum()), seq_off=off,
+                      lens=lens, real_reads=True)
+    rows = []
+    for r in (3, 9, 14):  # overflow rows spread across shards
+        rows += [(r, 100, 4000, (r + 1) % 16, 0, 3900)] * 200
+    rows += [(i, 10, 2000, (i + 2) % 16, 5, 1995) for i in range(16)]
+    a_id, a_s, a_e, b_id, b_s, b_e = map(
+        lambda x: np.asarray(x, dtype=np.int32), zip(*rows))
+    table = OverlapTable(a_id=a_id, b_id=b_id, a_start=a_s, a_end=a_e,
+                         b_start=b_s, b_end=b_e, symmetric=True,
+                         n_names=16)
+    params = _params()
+    r1 = compute_jax(store, table, params)
+    r8 = compute_jax(store, table, params, mesh=make_mesh(8))
+    np.testing.assert_array_equal(r1.cov_flat, r8.cov_flat)
+    np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
+    assert r1.cov_flat.max() >= 200
