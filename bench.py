@@ -31,7 +31,7 @@ WORK = os.environ.get(
     "RAFT_BENCH_DIR",
     "/dev/shm/raft_bench" if os.path.isdir("/dev/shm") else "/tmp/raft_bench")
 N_READS = int(os.environ.get("RAFT_BENCH_READS", "32000"))
-ROUNDS = int(os.environ.get("RAFT_BENCH_ROUNDS", "4"))
+ROUNDS = int(os.environ.get("RAFT_BENCH_ROUNDS", "6"))
 ARGS = ["-e", "20", "-m", "1.5", "-p", "10000", "-l", "20000",
         "-f", "1000", "-v", "500"]
 

@@ -26,6 +26,7 @@
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <sys/uio.h>
 #include <unistd.h>
 #include <zlib.h>
 
@@ -1372,84 +1373,176 @@ extern "C" {
 }  // extern "C"
 
 namespace {
+
+bool write_full(int fd, const char* p, size_t n) {
+  size_t done = 0;
+  while (done < n) {
+    ssize_t w = write(fd, p + done, n - done);
+    if (w <= 0) return false;
+    done += static_cast<size_t>(w);
+  }
+  return true;
+}
+
+bool writev_full(int fd, struct iovec* iov, int cnt) {
+  while (cnt > 0) {
+    ssize_t w = writev(fd, iov, cnt);
+    if (w < 0) return false;
+    while (cnt > 0 && w >= static_cast<ssize_t>(iov->iov_len)) {
+      w -= static_cast<ssize_t>(iov->iov_len);
+      iov++;
+      cnt--;
+    }
+    if (cnt > 0 && w > 0) {
+      iov->iov_base = static_cast<char*>(iov->iov_base) + w;
+      iov->iov_len -= static_cast<size_t>(w);
+    }
+  }
+  return true;
+}
+
+// Zero-copy emitter: rendered text (headers, numbers) accumulates in a
+// fixed buffer; bulk payload (fragment sequences) is REFERENCED, not
+// copied, and both stream to the file with writev. This halves+ memory
+// traffic versus render-then-write — the binding resource on
+// bandwidth-limited hosts (and the reference's substr+ofstream path
+// copies every sequence byte twice more, chop.hpp:318).
 class BufWriter {
  public:
   explicit BufWriter(const char* path, bool append = false)
-      : f_(fopen(path, append ? "ab" : "wb")), buf_(1 << 22), n_(0) {}
+      : fd_(open(path, O_WRONLY | O_CREAT | (append ? O_APPEND : O_TRUNC),
+                 0644)),
+        buf_(1 << 22), n_(0), seg_(0), failed_(false) {
+    iov_.reserve(1024);
+  }
   ~BufWriter() {
     flush();
-    if (f_) fclose(f_);
+    if (fd_ >= 0) close(fd_);
   }
-  bool ok() const { return f_ != nullptr; }
+  bool ok() const { return fd_ >= 0 && !failed_; }
   inline void put(const char* s, size_t n) {
     if (n_ + n > buf_.size()) {
       flush();
-      if (n > buf_.size()) {
-        fwrite(s, 1, n, f_);
+      if (n > buf_.size()) {  // oversized copy: write straight through
+        if (!write_full(fd_, s, n)) failed_ = true;
         return;
       }
     }
     memcpy(buf_.data() + n_, s, n);
     n_ += n;
   }
+  // reference external bytes without copying (valid until flush —
+  // callers pass pointers into long-lived blobs)
+  inline void put_ref(const char* s, size_t n) {
+    if (iov_.size() + 2 >= 1000) flush();
+    close_seg();
+    iov_.push_back({const_cast<char*>(s), n});
+  }
   inline void putc(char c) {
     if (n_ + 1 > buf_.size()) flush();
     buf_[n_++] = c;
   }
   inline void putint(int64_t v) {
-    char tmp[24];
-    int k = 0;
+    if (n_ + 24 > buf_.size()) flush();
+    char* d = buf_.data();
     if (v < 0) {
-      putc('-');
+      d[n_++] = '-';
       v = -v;
     }
+    char tmp[24];
+    int k = 0;
     do {
       tmp[k++] = static_cast<char>('0' + (v % 10));
       v /= 10;
     } while (v);
-    if (n_ + static_cast<size_t>(k) > buf_.size()) flush();
-    while (k) buf_[n_++] = tmp[--k];
+    while (k) d[n_++] = tmp[--k];
   }
   void flush() {
-    if (n_) {
-      fwrite(buf_.data(), 1, n_, f_);
-      n_ = 0;
+    close_seg();
+    if (!iov_.empty()) {
+      if (!writev_full(fd_, iov_.data(), static_cast<int>(iov_.size())))
+        failed_ = true;
+      iov_.clear();
     }
+    n_ = 0;
+    seg_ = 0;
   }
 
  private:
-  FILE* f_;
+  inline void close_seg() {
+    if (n_ > seg_) {
+      iov_.push_back({buf_.data() + seg_, n_ - seg_});
+      seg_ = n_;
+    }
+  }
+  int fd_;
   std::vector<char> buf_;
-  size_t n_;
+  size_t n_, seg_;
+  std::vector<struct iovec> iov_;
+  bool failed_;
 };
 
 // Growable in-memory writer with BufWriter's interface: the unit of the
 // parallel emitters — each thread renders a contiguous item shard into
 // its own MemWriter, then the shards are written to the file in order
 // (bytes identical to a single-threaded render; the formatting, which
-// dominates emit cost, runs on all cores).
+// dominates emit cost, runs on all cores). Same memcpy/raw-index inner
+// loops as BufWriter — per-byte push_back was measured 10x slower.
 class MemWriter {
  public:
-  inline void put(const char* s, size_t n) { buf_.insert(buf_.end(), s, s + n); }
-  inline void putc(char c) { buf_.push_back(c); }
+  MemWriter() : n_(0) {}
+  inline void put(const char* s, size_t n) {
+    if (n_ + n > buf_.size()) grow(n);
+    memcpy(buf_.data() + n_, s, n);
+    n_ += n;
+  }
+  inline void putc(char c) {
+    if (n_ + 1 > buf_.size()) grow(1);
+    buf_[n_++] = c;
+  }
   inline void putint(int64_t v) {
-    char tmp[24];
-    int k = 0;
+    if (n_ + 24 > buf_.size()) grow(24);
+    char* d = buf_.data();
     if (v < 0) {
-      buf_.push_back('-');
+      d[n_++] = '-';
       v = -v;
     }
+    char tmp[24];
+    int k = 0;
     do {
       tmp[k++] = static_cast<char>('0' + (v % 10));
       v /= 10;
     } while (v);
-    while (k) buf_.push_back(tmp[--k]);
+    while (k) d[n_++] = tmp[--k];
   }
-  const std::vector<char>& data() const { return buf_; }
+  // shards must own their bytes (written after the render joins), so
+  // referenced payload is copied here
+  inline void put_ref(const char* s, size_t n) { put(s, n); }
+  const char* data() const { return buf_.data(); }
+  size_t size() const { return n_; }
 
  private:
+  void grow(size_t need) {
+    size_t cap = buf_.size() ? buf_.size() : (1u << 20);
+    while (cap < n_ + need) cap <<= 1;
+    buf_.resize(cap);
+  }
   std::vector<char> buf_;
+  size_t n_;
 };
+
+// Per-file shard budget: the pipeline writes the output files
+// CONCURRENTLY (one Python thread per file), so each file gets a slice
+// of the machine rather than spawning hw_threads shards each.
+int emit_shards() {
+  const char* env = getenv("RAFT_EMIT_SHARDS");
+  if (env && *env) {
+    int v = atoi(env);
+    if (v >= 1) return v;
+  }
+  int t = n_parse_threads() / 4;
+  return t < 1 ? 1 : (t > 16 ? 16 : t);
+}
 
 // Render items [0, n_items) with render(writer, lo, hi) sharded over
 // threads, then write shards to `path` in order. Small item counts
@@ -1457,7 +1550,7 @@ class MemWriter {
 template <class RenderFn>
 int emit_sharded(const char* path, int64_t n_items, int append,
                  RenderFn render) {
-  const int T = n_parse_threads();
+  const int T = emit_shards();
   if (n_items < 4096 || T == 1) {
     BufWriter w(path, append != 0);
     if (!w.ok()) return -1;
@@ -1473,15 +1566,15 @@ int emit_sharded(const char* path, int64_t n_items, int append,
         [&shards, t, lo, hi, &render]() { render(shards[t], lo, hi); });
   }
   for (auto& th : threads) th.join();
-  FILE* f = fopen(path, append ? "ab" : "wb");
-  if (!f) return -1;
+  int fd = open(path, O_WRONLY | O_CREAT | (append ? O_APPEND : O_TRUNC),
+                0644);
+  if (fd < 0) return -1;
   for (auto& s : shards)
-    if (!s.data().empty() &&
-        fwrite(s.data().data(), 1, s.data().size(), f) != s.data().size()) {
-      fclose(f);
+    if (s.size() && !write_full(fd, s.data(), s.size())) {
+      close(fd);
       return -1;
     }
-  fclose(f);
+  close(fd);
   return 0;
 }
 }  // namespace
@@ -1572,7 +1665,7 @@ int raftio_emit_frags_full(
         w.putc('\n');
       }
     }
-    w.put(seq_blob + seq_off[i] + cs, static_cast<size_t>(cl));
+    w.put_ref(seq_blob + seq_off[i] + cs, static_cast<size_t>(cl));
     w.putc('\n');
   }
   };
