@@ -231,6 +231,35 @@ def chop_markers(lens, rep_s, rep_e, cfg: StaticCfg):
 # Fused device step
 # ---------------------------------------------------------------------------
 
+# Packed-output column layout: every small per-read result travels in
+# ONE int32 [B, 2K+2F+5] array — each fetched leaf is a host round trip
+# on tunneled links, so a bucket's results are two transfers (packed +
+# the int8 coverage diff) instead of ten.
+PACKED_SCALARS = 5  # rep_n, rep_len_sum, n_frag, whole, ok8
+
+
+def packed_width(cfg: StaticCfg) -> int:
+    return 2 * cfg.K + 2 * cfg.F + PACKED_SCALARS
+
+
+def rep_len_sum_col(cfg: StaticCfg) -> int:
+    return 2 * cfg.K + 2 * cfg.F + 1
+
+
+def unpack_out(packed: np.ndarray, cfg: StaticCfg) -> dict:
+    """Host-side view split of the packed [B, …] int32 array."""
+    K, F = cfg.K, cfg.F
+    base = 2 * K + 2 * F
+    return dict(
+        rep_s=packed[:, :K], rep_e=packed[:, K:2 * K],
+        char_start=packed[:, 2 * K:2 * K + F],
+        char_len=packed[:, 2 * K + F:base],
+        rep_n=packed[:, base], rep_len_sum=packed[:, base + 1],
+        n_frag=packed[:, base + 2],
+        whole=packed[:, base + 3] != 0,
+        ok8=packed[:, base + 4] != 0)
+
+
 def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
     if (cfg.use_pallas and cfg.W % 128 == 0
@@ -245,17 +274,22 @@ def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     rep_s, rep_e, rep_n, rep_len_sum = repeat_scan(cov, lens, cfg)
     frags = chop_markers(lens, rep_s, rep_e, cfg)
 
-    out = dict(rep_s=rep_s, rep_e=rep_e, rep_n=rep_n,
-               rep_len_sum=rep_len_sum, **frags)
+    out = {}
     if cfg.cov_out == "diff8":
-        # int8 transfer with per-row overflow check; the host falls back
-        # to the int32 variant for buckets where a window gains/loses
-        # more than 127 intervals (vanishingly rare pileups)
+        # int8 transfer with per-row overflow flag; the host rebuilds
+        # rows where a window gains/loses more than 127 intervals
+        # (vanishingly rare pileups) from the bucket's own events
         ok8 = (jnp.max(diff, axis=1) <= 127) & (jnp.min(diff, axis=1) >= -128)
         out["diff8"] = diff.astype(jnp.int8)
-        out["ok8"] = ok8
     else:
+        ok8 = jnp.ones(cfg.B, dtype=jnp.bool_)
         out["cov"] = cov
+    out["packed"] = jnp.concatenate(
+        [rep_s, rep_e, frags["char_start"], frags["char_len"],
+         rep_n[:, None], rep_len_sum[:, None],
+         frags["n_frag"][:, None],
+         frags["whole"][:, None].astype(jnp.int32),
+         ok8[:, None].astype(jnp.int32)], axis=1)
     return out
 
 
@@ -356,9 +390,10 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     fetched = []
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
         for bk, cfg, args, out in ex.map(_fetch, outs):
+            out = {**unpack_out(np.asarray(out.pop("packed")), cfg), **out}
             if "diff8" in out:
                 cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
-                bad = np.nonzero(~np.asarray(out["ok8"]))[0]
+                bad = np.nonzero(~out["ok8"])[0]
                 if len(bad):
                     # rare: a window gained/lost >127 intervals, so the
                     # int8 diff wrapped for these rows — rebuild exactly

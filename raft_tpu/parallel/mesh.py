@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from raft_tpu import bucketing
-from raft_tpu.engine_jax import StaticCfg, device_step_impl
+from raft_tpu.engine_jax import StaticCfg, device_step_impl, rep_len_sum_col
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "r",
@@ -95,17 +95,13 @@ def sharded_device_step(mesh: Mesh):
             # global stats ride a psum collective (ICI), matching the
             # reference's global accumulators (repeat.hpp:93-97)
             out["global_rep_len"] = jax.lax.psum(
-                jnp.sum(out["rep_len_sum"]), axis)
+                jnp.sum(out["packed"][:, rep_len_sum_col(cfg)]), axis)
             return out
 
         specs_in = (P(axis), P(axis), P(axis), P(axis))
-        covkeys = (dict(diff8=P(axis), ok8=P(axis))
-                   if cfg.cov_out == "diff8" else dict(cov=P(axis)))
-        out_specs = dict(
-            rep_s=P(axis), rep_e=P(axis), rep_n=P(axis),
-            rep_len_sum=P(axis), n_frag=P(axis), whole=P(axis),
-            char_start=P(axis), char_len=P(axis),
-            global_rep_len=P(), **covkeys)
+        covkey = "diff8" if cfg.cov_out == "diff8" else "cov"
+        out_specs = {"packed": P(axis), covkey: P(axis),
+                     "global_rep_len": P()}
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
                              out_specs=out_specs)(lens, ev_row, ev_w0, ev_w1)
 
