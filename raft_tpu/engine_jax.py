@@ -72,11 +72,22 @@ class StaticCfg:
     div: int
     overlap_length: int
     use_pallas: bool = False
-    cov_out: str = "diff8"
+    cov_out: str = "host"
+
+
+def default_cov_out() -> str:
+    """Coverage return mode (RAFT_COV_OUT): ``host`` (default) keeps the
+    coverage matrix on device and the host recomputes the emission copy
+    from the bucket's own events — D2H shrinks to the small packed array,
+    which dominates on bandwidth-bound links; ``diff8`` ships the int8
+    per-window diff (one byte per window) and cumsums on host; ``cov``
+    ships the full int32 matrix."""
+    return os.environ.get("RAFT_COV_OUT", "host")
 
 
 def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
-               use_pallas: bool = False) -> StaticCfg:
+               use_pallas: bool = False,
+               cov_out: str | None = None) -> StaticCfg:
     reso = params.reso
     il = params.interval_length
     rl = params.repeat_length
@@ -91,7 +102,8 @@ def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
                      high_cov=params.high_cov, repeat_length=rl,
                      flank=params.flanking_length, interval_length=il,
                      div=params.div, overlap_length=params.overlap_length,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas,
+                     cov_out=cov_out or default_cov_out())
 
 
 # ---------------------------------------------------------------------------
@@ -281,9 +293,14 @@ def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
         # (vanishingly rare pileups) from the bucket's own events
         ok8 = (jnp.max(diff, axis=1) <= 127) & (jnp.min(diff, axis=1) >= -128)
         out["diff8"] = diff.astype(jnp.int8)
-    else:
+    elif cfg.cov_out == "cov":
         ok8 = jnp.ones(cfg.B, dtype=jnp.bool_)
         out["cov"] = cov
+    else:
+        # "host": the coverage matrix never leaves the device — the host
+        # rebuilds the emission copy from the bucket's own events
+        # (bincount + cumsum), so D2H is just the packed per-read array
+        ok8 = jnp.ones(cfg.B, dtype=jnp.bool_)
     out["packed"] = jnp.concatenate(
         [rep_s, rep_e, frags["char_start"], frags["char_len"],
          rep_n[:, None], rep_len_sum[:, None],
@@ -325,7 +342,7 @@ def _slab_copy_idx(cnt: np.ndarray, src_start: np.ndarray,
 
 def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 strict: bool = True, use_pallas: bool = False,
-                mesh=None) -> "ComputeResult":
+                mesh=None, cov_out: str | None = None) -> "ComputeResult":
     """JAX engine: device batches in, flat ComputeResult out (no per-read
     Python loops anywhere)."""
     from raft_tpu.result import ComputeResult
@@ -353,7 +370,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
             bk = shard_bucket(bk, n_shards)
         # cfg describes PER-SHARD shapes under shard_map
         cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards, params,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, cov_out=cov_out)
         args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
                 jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
         prepared.append((bk, cfg, args))
@@ -385,7 +402,12 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
 
     def _fetch(item):
         bk, cfg, args, out = item
-        return bk, cfg, args, jax.device_get(out)
+        out = jax.device_get(out)
+        if "diff8" not in out and "cov" not in out:
+            # cov_out="host": rebuild the emission coverage from the
+            # bucket's own events while the device runs the next bucket
+            out["cov"] = _host_cov_bucket(bk, n_shards)
+        return bk, cfg, args, out
 
     fetched = []
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
@@ -462,22 +484,47 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     )
 
 
-def _host_cov_rows(bk, n_shards: int, bad: np.ndarray,
-                   cov: np.ndarray) -> None:
-    """Recompute int32 coverage for rows ``bad`` of a bucket from its own
-    events (the same diff+cumsum the device runs, repeat.hpp:62-77
-    semantics) and write them into ``cov`` in place.
-
-    Sharded buckets store shard-local row ids per event slab; map them
-    back to global rows first.
-    """
-    W = cov.shape[1]
+def _bucket_global_rows(bk, n_shards: int) -> np.ndarray:
+    """Event → global bucket row. Sharded buckets store shard-local row
+    ids per event slab; map them back (pad sentinel → bk.B)."""
     rows = np.asarray(bk.ev_row, dtype=np.int64)
     if n_shards > 1:
         B_local = bk.B // n_shards
         E_s = bk.E // n_shards
         slab = np.arange(len(rows), dtype=np.int64) // E_s
         rows = np.where(rows >= B_local, bk.B, slab * B_local + rows)
+    return rows
+
+
+def _host_cov_bucket(bk, n_shards: int) -> np.ndarray:
+    """[n_used, W] int32 coverage of a whole bucket from its own events
+    (bincount diff + row cumsum — the same formulation the device runs,
+    repeat.hpp:62-77 semantics). Used by cov_out='host', which keeps the
+    device's coverage matrix on device: the emission copy is cheaper to
+    recompute here than to ship over a bandwidth-bound link."""
+    W = bk.W
+    nu = bk.n_used
+    stride = W + 1
+    rows = _bucket_global_rows(bk, n_shards)
+    w0 = np.asarray(bk.ev_w0, dtype=np.int64)
+    w1 = np.asarray(bk.ev_w1, dtype=np.int64)
+    sel = ((rows < nu) & (w1 >= w0)
+           & (w0 >= 0) & (w0 <= W) & (w1 + 1 <= W))
+    d = np.bincount(rows[sel] * stride + w0[sel],
+                    minlength=nu * stride).astype(np.int32)
+    d -= np.bincount(rows[sel] * stride + w1[sel] + 1,
+                     minlength=nu * stride).astype(np.int32)
+    return np.cumsum(d.reshape(nu, stride)[:, :W], axis=1, dtype=np.int32)
+
+
+def _host_cov_rows(bk, n_shards: int, bad: np.ndarray,
+                   cov: np.ndarray) -> None:
+    """Recompute int32 coverage for rows ``bad`` of a bucket from its own
+    events (the same diff+cumsum the device runs, repeat.hpp:62-77
+    semantics) and write them into ``cov`` in place.
+    """
+    W = cov.shape[1]
+    rows = _bucket_global_rows(bk, n_shards)
     w0 = np.asarray(bk.ev_w0, dtype=np.int64)
     w1 = np.asarray(bk.ev_w1, dtype=np.int64)
     sel = (np.isin(rows, bad) & (w1 >= w0)

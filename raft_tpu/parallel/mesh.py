@@ -99,9 +99,9 @@ def sharded_device_step(mesh: Mesh):
             return out
 
         specs_in = (P(axis), P(axis), P(axis), P(axis))
-        covkey = "diff8" if cfg.cov_out == "diff8" else "cov"
-        out_specs = {"packed": P(axis), covkey: P(axis),
-                     "global_rep_len": P()}
+        out_specs = {"packed": P(axis), "global_rep_len": P()}
+        if cfg.cov_out in ("diff8", "cov"):
+            out_specs[cfg.cov_out] = P(axis)
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
                              out_specs=out_specs)(lens, ev_row, ev_w0, ev_w1)
 

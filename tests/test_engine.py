@@ -53,7 +53,7 @@ def test_int8_overflow_fallback():
     table = _mk_table(rows)
     params = AlgoParams(est_cov=10, repeat_length=1000, interval_length=1000,
                         read_length=2000)
-    res = compute_jax(store, table, params)
+    res = compute_jax(store, table, params, cov_out="diff8")
     # oracle comparison
     cov, reps, frags, st = compute_oracle(store, table, params)
     want = from_per_read_lists(2, cov, reps, frags, st)
@@ -84,6 +84,33 @@ def test_engines_equal_random():
     cov, reps, frags, st = compute_oracle(store, table, params)
     want = from_per_read_lists(store.n_reads, cov, reps, frags, st)
     _assert_equal(res, want)
+
+
+def test_cov_out_modes_equal():
+    """The three coverage return modes (host recompute, int8 diff, full
+    int32 matrix) must produce identical ComputeResults."""
+    rng = np.random.default_rng(17)
+    lens = rng.integers(100, 30000, 64)
+    rows = []
+    for _ in range(600):
+        a = int(rng.integers(0, 64))
+        b = int(rng.integers(0, 64))
+        qs = int(rng.integers(0, lens[a]))
+        qe = int(rng.integers(qs + 1, lens[a] + 1))
+        ts = int(rng.integers(0, lens[b]))
+        te = int(rng.integers(ts + 1, lens[b] + 1))
+        rows.append((a, qs, qe, b, ts, te))
+    store = _mk_store(lens)
+    table = _mk_table(rows)
+    table.symmetric = False
+    params = AlgoParams(est_cov=4, cov_mul=1.2, repeat_length=800,
+                        interval_length=800, read_length=2000,
+                        flanking_length=100, overlap_length=50)
+    res_host = compute_jax(store, table, params, cov_out="host")
+    res_diff8 = compute_jax(store, table, params, cov_out="diff8")
+    res_cov = compute_jax(store, table, params, cov_out="cov")
+    _assert_equal(res_host, res_diff8)
+    _assert_equal(res_host, res_cov)
 
 
 def test_bucket_area_cap():

@@ -88,8 +88,12 @@ def test_sharded_int8_overflow_host_rebuild():
                          b_start=b_s, b_end=b_e, symmetric=True,
                          n_names=16)
     params = _params()
-    r1 = compute_jax(store, table, params)
-    r8 = compute_jax(store, table, params, mesh=make_mesh(8))
+    r1 = compute_jax(store, table, params, cov_out="diff8")
+    r8 = compute_jax(store, table, params, mesh=make_mesh(8),
+                     cov_out="diff8")
+    rh = compute_jax(store, table, params, mesh=make_mesh(8),
+                     cov_out="host")
     np.testing.assert_array_equal(r1.cov_flat, r8.cov_flat)
     np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
+    np.testing.assert_array_equal(r1.cov_flat, rh.cov_flat)
     assert r1.cov_flat.max() >= 200
