@@ -1401,6 +1401,102 @@ bool writev_full(int fd, struct iovec* iov, int cnt) {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// BGZF output: block-parallel deflate, the write-side mirror of the
+// block-parallel inflate above. Input splits into 0xff00-byte blocks
+// (bgzip's block size, chosen so the worst-case deflate expansion still
+// fits the 16-bit BSIZE field); blocks compress concurrently and write
+// in order; files end with the standard 28-byte BGZF EOF marker, so
+// outputs are valid bgzip files (zcat / htslib / our own parallel
+// BGZF reader all consume them).
+// ---------------------------------------------------------------------------
+constexpr size_t kBgzfIn = 0xff00;
+
+int gz_level() {
+  const char* env = getenv("RAFT_GZ_LEVEL");
+  if (env && *env) {
+    int v = atoi(env);
+    if (v >= 1 && v <= 9) return v;
+  }
+  return 6;  // bgzip's default
+}
+
+const uint8_t kBgzfEof[28] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                              6,    0,    66, 67, 2, 0, 27, 0, 3, 0,
+                              0,    0,    0,  0,  0, 0, 0,  0};
+
+bool bgzf_deflate_block(z_stream* zs, const char* in, size_t n,
+                        std::vector<char>* out) {
+  static const uint8_t H[18] = {0x1f, 0x8b, 8,   4,   0, 0, 0, 0, 0,
+                                0xff, 6,    0,   'B', 'C', 2, 0, 0, 0};
+  size_t hdr = out->size();
+  size_t cap = deflateBound(zs, static_cast<uLong>(n));
+  out->resize(hdr + 18 + cap + 8);
+  memcpy(out->data() + hdr, H, 18);
+  deflateReset(zs);
+  zs->next_in = reinterpret_cast<Bytef*>(const_cast<char*>(in));
+  zs->avail_in = static_cast<uInt>(n);
+  zs->next_out = reinterpret_cast<Bytef*>(out->data() + hdr + 18);
+  zs->avail_out = static_cast<uInt>(cap);
+  if (deflate(zs, Z_FINISH) != Z_STREAM_END) return false;
+  size_t clen = cap - zs->avail_out;
+  size_t total = 18 + clen + 8;
+  if (total - 1 > 0xffff) return false;  // cannot happen at kBgzfIn
+  char* p = out->data() + hdr;
+  p[16] = static_cast<char>((total - 1) & 0xff);
+  p[17] = static_cast<char>(((total - 1) >> 8) & 0xff);
+  uint32_t crc = static_cast<uint32_t>(
+      crc32(0, reinterpret_cast<const Bytef*>(in), static_cast<uInt>(n)));
+  char* f = p + 18 + clen;
+  for (int i = 0; i < 4; i++) f[i] = static_cast<char>((crc >> (8 * i)) & 0xff);
+  uint32_t isz = static_cast<uint32_t>(n);
+  for (int i = 0; i < 4; i++)
+    f[4 + i] = static_cast<char>((isz >> (8 * i)) & 0xff);
+  out->resize(hdr + total);
+  return true;
+}
+
+// Compress `n` bytes into BGZF members appended to fd (no EOF marker —
+// callers add it once per file).
+bool bgzf_write(int fd, const char* data, size_t n, int T) {
+  size_t nblk = (n + kBgzfIn - 1) / kBgzfIn;
+  if (!nblk) return true;
+  if (static_cast<size_t>(T) > nblk) T = static_cast<int>(nblk);
+  std::vector<std::vector<char>> outs(T);
+  std::vector<char> fail(T, 0);
+  std::vector<std::thread> threads;
+  int lvl = gz_level();
+  for (int t = 0; t < T; t++) {
+    threads.emplace_back([&, t]() {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (deflateInit2(&zs, lvl, Z_DEFLATED, -15, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        fail[t] = 1;
+        return;
+      }
+      size_t k0 = nblk * t / T, k1 = nblk * (t + 1) / T;
+      outs[t].reserve((k1 - k0) * (kBgzfIn / 2));
+      for (size_t k = k0; k < k1; k++) {
+        size_t off = k * kBgzfIn;
+        size_t len = n - off < kBgzfIn ? n - off : kBgzfIn;
+        if (!bgzf_deflate_block(&zs, data + off, len, &outs[t])) {
+          fail[t] = 1;
+          break;
+        }
+      }
+      deflateEnd(&zs);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; t++)
+    if (fail[t]) return false;
+  for (int t = 0; t < T; t++)
+    if (!outs[t].empty() && !write_full(fd, outs[t].data(), outs[t].size()))
+      return false;
+  return true;
+}
+
 // Zero-copy emitter: rendered text (headers, numbers) accumulates in a
 // fixed buffer; bulk payload (fragment sequences) is REFERENCED, not
 // copied, and both stream to the file with writev. This halves+ memory
@@ -1546,12 +1642,15 @@ int emit_shards() {
 
 // Render items [0, n_items) with render(writer, lo, hi) sharded over
 // threads, then write shards to `path` in order. Small item counts
-// render single-threaded straight into the file buffer.
+// render single-threaded straight into the file buffer. With gz != 0 the
+// shards are BGZF-compressed (block-parallel) instead of written raw and
+// the file ends with the BGZF EOF marker; decompressed bytes are
+// identical to the gz=0 output.
 template <class RenderFn>
 int emit_sharded(const char* path, int64_t n_items, int append,
-                 RenderFn render) {
+                 RenderFn render, int gz = 0) {
   const int T = emit_shards();
-  if (n_items < 4096 || T == 1) {
+  if (!gz && (n_items < 4096 || T == 1)) {
     BufWriter w(path, append != 0);
     if (!w.ok()) return -1;
     render(w, static_cast<int64_t>(0), n_items);
@@ -1569,11 +1668,24 @@ int emit_sharded(const char* path, int64_t n_items, int append,
   int fd = open(path, O_WRONLY | O_CREAT | (append ? O_APPEND : O_TRUNC),
                 0644);
   if (fd < 0) return -1;
-  for (auto& s : shards)
-    if (s.size() && !write_full(fd, s.data(), s.size())) {
+  if (gz) {
+    const int ZT = n_parse_threads();
+    for (auto& s : shards)
+      if (s.size() && !bgzf_write(fd, s.data(), s.size(), ZT)) {
+        close(fd);
+        return -1;
+      }
+    if (!write_full(fd, reinterpret_cast<const char*>(kBgzfEof), 28)) {
       close(fd);
       return -1;
     }
+  } else {
+    for (auto& s : shards)
+      if (s.size() && !write_full(fd, s.data(), s.size())) {
+        close(fd);
+        return -1;
+      }
+  }
   close(fd);
   return 0;
 }
@@ -1617,7 +1729,8 @@ int raftio_emit_frags_full(
     const uint8_t* align_code, const int64_t* start_pos,
     const int64_t* end_pos, const char* align_blob,
     const int64_t* align_off, const char* suffix_blob,
-    const int64_t* suffix_off, int64_t first_read_num, int append) {
+    const int64_t* suffix_off, int64_t first_read_num, int append,
+    int gz) {
   auto render = [&](auto& w, int64_t jlo, int64_t jhi) {
   for (int64_t j = jlo; j < jhi; j++) {
     int64_t i = frag_read[j];
@@ -1669,7 +1782,7 @@ int raftio_emit_frags_full(
     w.putc('\n');
   }
   };
-  return emit_sharded(path, n_frags, append, render);
+  return emit_sharded(path, n_frags, append, render, gz);
 }
 
 // coverage.txt: "read {i} " + "{w*reso},{cov} " per window + "\n"
@@ -1677,7 +1790,7 @@ int raftio_emit_frags_full(
 int raftio_emit_coverage(const char* path, const int32_t* cov,
                          const int64_t* cov_off, int64_t n_reads,
                          int32_t reso, int64_t first_read_index,
-                         int append) {
+                         int append, int gz) {
   auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
   for (int64_t i = ilo; i < ihi; i++) {
     w.put("read ", 5);
@@ -1694,14 +1807,14 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
     w.putc('\n');
   }
   };
-  return emit_sharded(path, n_reads, append, render);
+  return emit_sharded(path, n_reads, append, render, gz);
 }
 
 // long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
 int raftio_emit_repeats(const char* path, const int32_t* rep_s,
                         const int32_t* rep_e, const int64_t* rep_off,
                         int64_t n_reads, int64_t first_read_index,
-                        int append) {
+                        int append, int gz) {
   auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
   for (int64_t i = ilo; i < ihi; i++) {
     w.put("read ", 5);
@@ -1716,7 +1829,7 @@ int raftio_emit_repeats(const char* path, const int32_t* rep_s,
     w.putc('\n');
   }
   };
-  return emit_sharded(path, n_reads, append, render);
+  return emit_sharded(path, n_reads, append, render, gz);
 }
 
 }  // extern "C"

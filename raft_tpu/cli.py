@@ -103,7 +103,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": False, "stats_json": None,
-              "chunk_reads": None, "devices": None, "spill_paf": None}
+              "chunk_reads": None, "devices": None, "spill_paf": None,
+              "gz_out": False}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -134,6 +135,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             skip = True
         elif a.startswith("--chunk-reads="):
             extras["chunk_reads"] = int(a.split("=", 1)[1])
+        elif a == "--gz-out":
+            extras["gz_out"] = True
         elif a == "--spill-paf":
             extras["spill_paf"] = True
         elif a == "--no-spill-paf":
@@ -166,7 +169,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "                          of keeping rows resident (auto\n"
                 "                          for PAF files over 2 GiB)\n"
                 "  --devices N             shard_map data parallelism over\n"
-                "                          the first N local devices\n")
+                "                          the first N local devices\n"
+                "  --gz-out                write outputs BGZF-compressed\n"
+                "                          (.gz; block-parallel deflate,\n"
+                "                          zcat/bgzip/htslib-readable;\n"
+                "                          level via RAFT_GZ_LEVEL)\n")
             raise SystemExit(0)
         else:
             rest.append(a)
@@ -236,7 +243,8 @@ def main(argv: list[str] | None = None) -> int:
                          use_native=extras["use_native"],
                          use_pallas=extras["pallas"], mesh=mesh,
                          chunk_reads=extras["chunk_reads"],
-                         spill_paf=extras["spill_paf"])
+                         spill_paf=extras["spill_paf"],
+                         gz_out=extras["gz_out"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

@@ -26,16 +26,26 @@ from raft_tpu.result import ComputeResult
 from raft_tpu.params import AlgoParams
 
 
+def _open_text(path: str, append: bool, gz: bool):
+    """Python-fallback writer handle; gz appends a new gzip member
+    (decompressed bytes identical to the plain file)."""
+    mode = "a" if append else "w"
+    if gz:
+        import gzip
+        return gzip.open(path, mode + "t")
+    return open(path, mode, buffering=1 << 20)
+
+
 def write_coverage(path: str, reso: int, res: ComputeResult,
                    use_native: bool = True,
                    first_read_index: int = 0,
-                   append: bool = False) -> None:
+                   append: bool = False, gz: bool = False) -> None:
     from raft_tpu.io import native
     if use_native and native.emit_coverage(path, res.cov_flat, res.cov_off,
                                            res.n_reads, reso,
-                                           first_read_index, append):
+                                           first_read_index, append, gz):
         return
-    with open(path, "a" if append else "w", buffering=1 << 20) as f:
+    with _open_text(path, append, gz) as f:
         for i in range(res.n_reads):
             cov = res.cov(i)
             parts = [f"read {first_read_index + i} "]
@@ -47,13 +57,13 @@ def write_coverage(path: str, reso: int, res: ComputeResult,
 def write_long_repeats(path: str, res: ComputeResult,
                        use_native: bool = True,
                        first_read_index: int = 0,
-                       append: bool = False) -> None:
+                       append: bool = False, gz: bool = False) -> None:
     from raft_tpu.io import native
     if use_native and native.emit_repeats(path, res.rep_s, res.rep_e,
                                           res.rep_off, res.n_reads,
-                                          first_read_index, append):
+                                          first_read_index, append, gz):
         return
-    with open(path, "a" if append else "w", buffering=1 << 20) as f:
+    with _open_text(path, append, gz) as f:
         for i in range(res.n_reads):
             parts = [f"read {first_read_index + i}, "]
             parts += [f"{s},{e}    " for (s, e) in res.repeats(i)]
@@ -63,11 +73,11 @@ def write_long_repeats(path: str, res: ComputeResult,
 
 def write_long_repeats_bed(path: str, store: ReadStore,
                            res: ComputeResult,
-                           append: bool = False) -> None:
+                           append: bool = False, gz: bool = False) -> None:
     """Simulated mode only: genome-coordinate BED with reverse-strand flip
     (``repeat.hpp:187-199``). In real-reads mode the reference still
     creates the file but never writes to it."""
-    with open(path, "a" if append else "w", buffering=1 << 20) as f:
+    with _open_text(path, append, gz) as f:
         if store.real_reads:
             return
         for i in range(res.n_reads):
@@ -119,16 +129,22 @@ def write_fragments_fasta(path: str, store: ReadStore, params: AlgoParams,
                           res: ComputeResult,
                           use_native: bool = True,
                           first_read_num: int = 1,
-                          append: bool = False) -> int:
+                          append: bool = False, gz: bool = False) -> int:
     """Emit the fragmented FASTA; returns the number of fragments."""
     from raft_tpu.io import native
     if use_native and native.emit_frags_full(path, store, res,
-                                             first_read_num, append):
+                                             first_read_num, append, gz):
         return res.n_frags
 
     blob = store.seq_blob
     off = store.seq_off
-    with open(path, "ab" if append else "wb", buffering=1 << 22) as f:
+    if gz:
+        import gzip
+        _opener = lambda: gzip.open(path, "ab" if append else "wb")
+    else:
+        _opener = lambda: open(path, "ab" if append else "wb",
+                               buffering=1 << 22)
+    with _opener() as f:
         for j in range(res.n_frags):
             i = int(res.frag_read[j])
             cs = int(res.frag_char_start[j])

@@ -117,13 +117,15 @@ def _configure(lib):
         C.c_void_p, C.c_void_p, C.c_void_p,   # align_code, start, end
         C.c_char_p, C.c_void_p,  # align blob + off
         C.c_char_p, C.c_void_p,  # suffix blob + off
-        C.c_int64, C.c_int]      # first_read_num, append
+        C.c_int64, C.c_int, C.c_int]  # first_read_num, append, gz
     lib.raftio_emit_coverage.restype = C.c_int
     lib.raftio_emit_coverage.argtypes = [
-        C.c_char_p, i32p, i64p, C.c_int64, C.c_int32, C.c_int64, C.c_int]
+        C.c_char_p, i32p, i64p, C.c_int64, C.c_int32, C.c_int64, C.c_int,
+        C.c_int]
     lib.raftio_emit_repeats.restype = C.c_int
     lib.raftio_emit_repeats.argtypes = [
-        C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64, C.c_int]
+        C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64, C.c_int,
+        C.c_int]
 
 
 class _FastaHandle:
@@ -401,7 +403,7 @@ def _seq_ptr(lib, store):
 
 
 def emit_frags_full(path: str, store, res, first_read_num: int = 1,
-                    append: bool = False) -> bool:
+                    append: bool = False, gz: bool = False) -> bool:
     """Native fragment-FASTA writer with in-C++ header rendering."""
     lib = _get_lib()
     if lib is None:
@@ -436,7 +438,7 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
         name_blob, name_off,
         ac_ptr, sp_ptr, ep_ptr,
         align_blob, ao_ptr, suffix_blob, so_ptr, first_read_num,
-        int(append))
+        int(append), int(gz))
     return rc == 0
 
 
@@ -468,20 +470,22 @@ def _sim_blobs(store):
 
 def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
                   n_reads: int, reso: int,
-                  first_read_index: int = 0, append: bool = False) -> bool:
+                  first_read_index: int = 0, append: bool = False,
+                  gz: bool = False) -> bool:
     lib = _get_lib()
     if lib is None:
         return False
     rc = lib.raftio_emit_coverage(
         path.encode(), np.ascontiguousarray(cov_flat, dtype=np.int32),
         np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
-        first_read_index, int(append))
+        first_read_index, int(append), int(gz))
     return rc == 0
 
 
 def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
                  rep_off: np.ndarray, n_reads: int,
-                 first_read_index: int = 0, append: bool = False) -> bool:
+                 first_read_index: int = 0, append: bool = False,
+                 gz: bool = False) -> bool:
     lib = _get_lib()
     if lib is None:
         return False
@@ -489,5 +493,5 @@ def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
         path.encode(), np.ascontiguousarray(rep_s, dtype=np.int32),
         np.ascontiguousarray(rep_e, dtype=np.int32),
         np.ascontiguousarray(rep_off, dtype=np.int64), n_reads,
-        first_read_index, int(append))
+        first_read_index, int(append), int(gz))
     return rc == 0

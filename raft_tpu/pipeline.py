@@ -144,6 +144,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  use_pallas: bool = False, mesh=None,
                  chunk_reads: int | None = None,
                  spill_paf: bool | None = None,
+                 gz_out: bool = False,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files.
 
@@ -152,6 +153,10 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     reference holds ~3.4x the input resident, SURVEY.md §2; this bounds
     the blob at one chunk). Plain FASTA only; other inputs fall back to
     the whole-file path.
+
+    ``gz_out``: write all four outputs BGZF-compressed (``.gz`` suffix;
+    block-parallel deflate, decompressed bytes identical to the plain
+    outputs and readable by zcat/bgzip/htslib).
 
     ``spill_paf``: in streaming mode, additionally bound *overlap* memory:
     a native two-pass PAF parse spills per-chunk coverage events to disk
@@ -162,7 +167,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         st = _run_pipeline_chunked(read_path, paf_path, params,
                                    chunk_reads, strict=strict,
                                    verbose=verbose, use_pallas=use_pallas,
-                                   mesh=mesh, spill_paf=spill_paf)
+                                   mesh=mesh, spill_paf=spill_paf,
+                                   gz_out=gz_out)
         if st is not None:
             return st
         if verbose:
@@ -217,20 +223,25 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 
     prefix = params.outputfilename
     un = use_native is not False
+    sfx = ".gz" if gz_out else ""
     with _Timer(stats, "emit"):
         # the four writers touch disjoint files and release the GIL in
         # the native emitters — run them concurrently
         import concurrent.futures as cf
         with cf.ThreadPoolExecutor(max_workers=4) as ex:
             futs = [
-                ex.submit(emit.write_coverage, prefix + ".coverage.txt",
-                          params.reso, res, un),
+                ex.submit(emit.write_coverage,
+                          prefix + ".coverage.txt" + sfx,
+                          params.reso, res, un, gz=gz_out),
                 ex.submit(emit.write_long_repeats,
-                          prefix + ".long_repeats.txt", res, un),
+                          prefix + ".long_repeats.txt" + sfx, res, un,
+                          gz=gz_out),
                 ex.submit(emit.write_long_repeats_bed,
-                          prefix + ".long_repeats.bed", store, res),
+                          prefix + ".long_repeats.bed" + sfx, store, res,
+                          gz=gz_out),
                 ex.submit(emit.write_fragments_fasta,
-                          prefix + ".reads.fasta", store, params, res, un),
+                          prefix + ".reads.fasta" + sfx, store, params,
+                          res, un, gz=gz_out),
             ]
             for f in futs[:-1]:
                 f.result()
@@ -242,7 +253,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                           chunk_reads: int, strict: bool = True,
                           verbose: bool = True, use_pallas: bool = False,
                           mesh=None,
-                          spill_paf: bool | None = None) -> RunStats | None:
+                          spill_paf: bool | None = None,
+                          gz_out: bool = False) -> RunStats | None:
     """Streaming pipeline: index pass → full PAF → per-chunk byte-range
     parse, compute, and append-emit with global numbering offsets.
 
@@ -316,6 +328,7 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         ev_hi = ev_hi[order]
 
     prefix = params.outputfilename
+    sfx = ".gz" if gz_out else ""
     rec_off = idx["rec_off"]
     names = idx["names"]
     frag_num = 1
@@ -349,14 +362,18 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
 
         with _Timer(stats, "emit"):
             emit.write_fragments_fasta(
-                prefix + ".reads.fasta", store, params, res,
-                first_read_num=frag_num, append=not first)
-            emit.write_coverage(prefix + ".coverage.txt", params.reso, res,
-                                first_read_index=lo, append=not first)
-            emit.write_long_repeats(prefix + ".long_repeats.txt", res,
-                                    first_read_index=lo, append=not first)
-            emit.write_long_repeats_bed(prefix + ".long_repeats.bed",
-                                        store, res, append=not first)
+                prefix + ".reads.fasta" + sfx, store, params, res,
+                first_read_num=frag_num, append=not first, gz=gz_out)
+            emit.write_coverage(prefix + ".coverage.txt" + sfx,
+                                params.reso, res,
+                                first_read_index=lo, append=not first,
+                                gz=gz_out)
+            emit.write_long_repeats(prefix + ".long_repeats.txt" + sfx, res,
+                                    first_read_index=lo, append=not first,
+                                    gz=gz_out)
+            emit.write_long_repeats_bed(prefix + ".long_repeats.bed" + sfx,
+                                        store, res, append=not first,
+                                        gz=gz_out)
         frag_num += res.n_frags
         stats.total_coverage += res.total_coverage
         stats.total_windows += res.total_windows
