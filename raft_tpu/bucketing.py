@@ -36,6 +36,23 @@ def _next_size(x: int, lo: int = 1) -> int:
     return v
 
 
+def _next_size4(x: int, lo: int = 1) -> int:
+    """Quarter-step ladder {2^k, 1.25*2^k, 1.5*2^k, 1.75*2^k}: bounds
+    padding waste to 20%. Used for event-slot counts, where padded slots
+    are transferred bytes (the scarce resource on tunneled links) —
+    a slightly larger shape vocabulary is the right trade there."""
+    v = lo
+    while v < x:
+        if (v & 3) == 0:  # quarter steps stay integral
+            for q in (v + (v >> 2), v + (v >> 1), v + (v >> 1) + (v >> 2)):
+                if q >= x:
+                    return q
+        elif v + (v >> 1) >= x and (v & 1) == 0:
+            return v + (v >> 1)
+        v <<= 1
+    return v
+
+
 @dataclasses.dataclass
 class Bucket:
     """One dense batch of reads plus the events that cover them.
@@ -106,24 +123,33 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]
         rows_cap = max(row_quantum, min(max_rows, max_cells // int(key)))
-        # one SHARED (B, E) shape for every chunk of a tier: each distinct
-        # jit shape costs a compile (seconds over tunneled links), so
-        # chunks of the same W tier pad to the worst chunk instead
+        # one SHARED (B, E) shape for the FULL chunks of a tier: each
+        # distinct jit shape costs a compile (seconds over tunneled
+        # links), so same-size chunks pad to the worst of them. The tail
+        # chunk (fewer rows) gets its own ladder shape instead — padding
+        # a 5%-full tail to the tier shape costs real transfer bytes,
+        # and the extra shape is small and cheap to compile.
         chunks = [rids_all[c0:c0 + rows_cap]
                   for c0 in range(0, len(rids_all), rows_cap)]
-        B_shared = _next_size(max(len(c) for c in chunks), lo=row_quantum)
-        E_shared = _next_size(
-            max(max(int(ev_counts[c].sum()) for c in chunks), 1), lo=64)
+        full = [c for c in chunks if len(c) == rows_cap]
+        B_shared = _next_size(
+            max((len(c) for c in full), default=0), lo=row_quantum)
+        E_shared = _next_size4(
+            max((int(ev_counts[c].sum()) for c in full), default=1), lo=64)
         for rids in chunks:
             n_used = len(rids)
-            B = B_shared
+            if n_used == rows_cap:
+                B, E = B_shared, E_shared
+            else:  # tail chunk: own ladder-quantized shape
+                B = _next_size(n_used, lo=row_quantum)
+                E = _next_size4(
+                    max(int(ev_counts[rids].sum()), 1), lo=64)
             W = int(key)
             blens = np.zeros(B, dtype=np.int32)
             blens[:n_used] = lens[rids]
 
             cnt = ev_counts[rids]
             tot = int(cnt.sum())
-            E = E_shared
             dt = np.int16 if (B < 32768 and W < 32768) else np.int32
             ev_row_b = np.full(E, B, dtype=dt)  # B = dropped sentinel
             ev_w0_b = np.zeros(E, dtype=dt)
