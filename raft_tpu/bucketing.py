@@ -70,6 +70,9 @@ class Bucket:
     ev_row: np.ndarray     # int16/int32 [E] row in batch; B (=drop) when pad
     ev_w0: np.ndarray      # int16/int32 [E] first window
     ev_w1: np.ndarray      # int16/int32 [E] last window (inclusive; -1 empty)
+    ev_off: np.ndarray = None  # int32 [B+1] exclusive per-row offsets —
+    #   what the device actually receives instead of ev_row (rows are
+    #   rebuilt on device; ev_row stays host-side for coverage rebuilds)
     n_used: int = 0
 
 
@@ -154,11 +157,13 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
             ev_row_b = np.full(E, B, dtype=dt)  # B = dropped sentinel
             ev_w0_b = np.zeros(E, dtype=dt)
             ev_w1_b = np.full(E, -1, dtype=dt)
+            ev_off_b = np.full(B + 1, tot, dtype=np.int32)
+            ev_off_b[0] = 0
+            ev_off_b[1:n_used + 1] = np.cumsum(cnt)
             # gather each read's event slab (vectorized variable-slab copy)
             if tot:
-                out_off = np.concatenate([[0], np.cumsum(cnt)])
-                src = (np.repeat(bounds[rids], cnt)
-                       + np.arange(tot) - np.repeat(out_off[:-1], cnt))
+                src = (np.repeat(bounds[rids], cnt) + np.arange(tot)
+                       - np.repeat(ev_off_b[:n_used], cnt))
                 ev_row_b[:tot] = np.repeat(
                     np.arange(n_used, dtype=dt), cnt)
                 ev_w0_b[:tot] = w0_all[src]
@@ -166,5 +171,5 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
             buckets.append(Bucket(
                 read_ids=rids, B=B, W=W, E=E, lens=blens,
                 ev_row=ev_row_b, ev_w0=ev_w0_b, ev_w1=ev_w1_b,
-                n_used=n_used))
+                ev_off=ev_off_b, n_used=n_used))
     return buckets

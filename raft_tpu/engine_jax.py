@@ -110,6 +110,25 @@ def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
 # Stage 1: coverage pileup
 # ---------------------------------------------------------------------------
 
+def rows_from_offsets(ev_off, cfg: StaticCfg):
+    """[B+1] exclusive per-row event offsets → [E] int32 row ids (B for
+    padding slots).
+
+    Events are laid out row-major (``bucketing.make_buckets``), so the
+    per-event row id is fully determined by the B+1 slab offsets. Instead
+    of uploading E int16 row ids, the host ships the offsets (~0 bytes
+    per event) and the device rebuilds rows with one scatter-max and a
+    cummax — H2D transfer bytes are the scarce resource on tunneled
+    links. Ties (empty rows sharing an offset) resolve to the largest
+    row id, which is exactly the row whose slab begins there; the final
+    offset (= total events) scatters B so the padded tail drops."""
+    B, E = cfg.B, cfg.E
+    iota_b = jnp.arange(B + 1, dtype=jnp.int32)
+    marks = jnp.full(E + 1, -1, jnp.int32).at[
+        ev_off.astype(jnp.int32)].max(iota_b, mode="drop")
+    return jax.lax.cummax(marks)[:E]
+
+
 def pileup_diff_scatter(ev_row, ev_w0, ev_w1, cfg: StaticCfg):
     """[E] window-binned events → (cov [B,W] int32, diff [B,W] int32).
 
@@ -272,8 +291,12 @@ def unpack_out(packed: np.ndarray, cfg: StaticCfg) -> dict:
         ok8=packed[:, base + 4] != 0)
 
 
-def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
-    """Full per-batch pipeline: pileup → repeat scan → chop (unjitted)."""
+def device_step_impl(lens, ev_off, ev_w0, ev_w1, cfg: StaticCfg):
+    """Full per-batch pipeline: pileup → repeat scan → chop (unjitted).
+
+    ``ev_off`` is the [B+1] exclusive per-row event offset table; row ids
+    are reconstructed on device (see ``rows_from_offsets``)."""
+    ev_row = rows_from_offsets(ev_off, cfg)
     if (cfg.use_pallas and cfg.W % 128 == 0
             and cfg.B % min(128, cfg.B) == 0
             and jax.default_backend() == "tpu"):
@@ -311,8 +334,8 @@ def device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg: StaticCfg):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def device_step(lens, ev_row, ev_w0, ev_w1, *, cfg: StaticCfg):
-    return device_step_impl(lens, ev_row, ev_w0, ev_w1, cfg)
+def device_step(lens, ev_off, ev_w0, ev_w1, *, cfg: StaticCfg):
+    return device_step_impl(lens, ev_off, ev_w0, ev_w1, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +394,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         # cfg describes PER-SHARD shapes under shard_map
         cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards, params,
                          use_pallas=use_pallas, cov_out=cov_out)
-        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_row),
+        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
                 jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
         prepared.append((bk, cfg, args))
 

@@ -67,16 +67,23 @@ def shard_bucket(bk: bucketing.Bucket, n_shards: int) -> bucketing.Bucket:
     r = np.full(n_shards * E_s, B_local, dtype=dt)
     w0 = np.zeros(n_shards * E_s, dtype=dt)
     w1 = np.full(n_shards * E_s, -1, dtype=dt)
+    # per-shard slab-local offset tables ([B_local+1] each, concatenated)
+    off = np.empty(n_shards * (B_local + 1), dtype=np.int32)
     for s in range(n_shards):
         a, b = cuts[s], cuts[s + 1]
         o = s * E_s
         r[o:o + (b - a)] = ev_row[a:b] - s * B_local
         w0[o:o + (b - a)] = ev_w0[a:b]
         w1[o:o + (b - a)] = ev_w1[a:b]
+        off[s * (B_local + 1):(s + 1) * (B_local + 1)] = (
+            np.searchsorted(ev_row[a:b],
+                            np.arange(s * B_local, (s + 1) * B_local + 1))
+            .astype(np.int32))
 
     return bucketing.Bucket(
         read_ids=bk.read_ids, B=B, W=bk.W, E=n_shards * E_s,
-        lens=lens, ev_row=r, ev_w0=w0, ev_w1=w1, n_used=bk.n_used)
+        lens=lens, ev_row=r, ev_w0=w0, ev_w1=w1, ev_off=off,
+        n_used=bk.n_used)
 
 
 def sharded_device_step(mesh: Mesh):
@@ -89,9 +96,9 @@ def sharded_device_step(mesh: Mesh):
     axis = mesh.axis_names[0]
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def step(lens, ev_row, ev_w0, ev_w1, *, cfg: StaticCfg):
-        def local(l, er, ew0, ew1):
-            out = device_step_impl(l, er, ew0, ew1, cfg)
+    def step(lens, ev_off, ev_w0, ev_w1, *, cfg: StaticCfg):
+        def local(l, eo, ew0, ew1):
+            out = device_step_impl(l, eo, ew0, ew1, cfg)
             # global stats ride a psum collective (ICI), matching the
             # reference's global accumulators (repeat.hpp:93-97)
             out["global_rep_len"] = jax.lax.psum(
@@ -103,6 +110,6 @@ def sharded_device_step(mesh: Mesh):
         if cfg.cov_out in ("diff8", "cov"):
             out_specs[cfg.cov_out] = P(axis)
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
-                             out_specs=out_specs)(lens, ev_row, ev_w0, ev_w1)
+                             out_specs=out_specs)(lens, ev_off, ev_w0, ev_w1)
 
     return step

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 
 from raft_tpu import bucketing
 from raft_tpu.engine_jax import (chop_markers, derive_cfg,
-                                 pileup_diff_scatter, repeat_scan)
+                                 pileup_diff_scatter, repeat_scan,
+                                 rows_from_offsets)
 from raft_tpu.ops import oracle
 from raft_tpu.params import AlgoParams
 
@@ -134,3 +135,27 @@ def test_chop_matches_oracle(seed, il, l, ov):
                 assert not wf.whole
                 assert int(out["char_start"][r, f]) == wf.char_start
                 assert int(out["char_len"][r, f]) == wf.char_len
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_rows_from_offsets_matches_ev_row(seed):
+    """Device-side row reconstruction from the [B+1] offset table must
+    reproduce ev_row exactly — including empty rows (tied offsets), empty
+    leading rows, and the padded tail (sentinel B)."""
+    rng = np.random.default_rng(100 + seed)
+    n_reads = int(rng.integers(1, 40))
+    lens = rng.integers(1, 4000, n_reads).astype(np.int32)
+    ev_read, ev_lo, ev_hi = [], [], []
+    for r in range(n_reads):
+        if rng.random() < 0.4:
+            continue  # empty row
+        for _ in range(rng.integers(1, 8)):
+            a = int(rng.integers(0, lens[r]))
+            ev_read.append(r); ev_lo.append(a); ev_hi.append(a)
+    ev_read = np.asarray(ev_read, dtype=np.int32)
+    ev_lo = np.asarray(ev_lo, dtype=np.int32)
+    ev_hi = np.asarray(ev_hi, dtype=np.int32)
+    for bk in bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi, 50):
+        cfg = derive_cfg(bk.B, bk.W, bk.E, AlgoParams(est_cov=5))
+        got = np.asarray(rows_from_offsets(jnp.asarray(bk.ev_off), cfg))
+        np.testing.assert_array_equal(got, bk.ev_row.astype(np.int32))
