@@ -104,7 +104,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": False, "stats_json": None,
               "chunk_reads": None, "devices": None, "spill_paf": None,
-              "gz_out": False}
+              "gz_out": False, "cov_out": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -137,6 +137,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             extras["chunk_reads"] = int(a.split("=", 1)[1])
         elif a == "--gz-out":
             extras["gz_out"] = True
+        elif a == "--cov-out":
+            extras["cov_out"] = argv[i + 1]
+            skip = True
+        elif a.startswith("--cov-out="):
+            extras["cov_out"] = a.split("=", 1)[1]
         elif a == "--spill-paf":
             extras["spill_paf"] = True
         elif a == "--no-spill-paf":
@@ -173,7 +178,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --gz-out                write outputs BGZF-compressed\n"
                 "                          (.gz; block-parallel deflate,\n"
                 "                          zcat/bgzip/htslib-readable;\n"
-                "                          level via RAFT_GZ_LEVEL)\n")
+                "                          level via RAFT_GZ_LEVEL)\n"
+                "  --cov-out MODE          coverage return path: host\n"
+                "                          (default; rebuilt host-side,\n"
+                "                          minimal D2H), diff8 (int8 diff\n"
+                "                          transfer), cov (full int32)\n")
             raise SystemExit(0)
         else:
             rest.append(a)
@@ -244,7 +253,8 @@ def main(argv: list[str] | None = None) -> int:
                          use_pallas=extras["pallas"], mesh=mesh,
                          chunk_reads=extras["chunk_reads"],
                          spill_paf=extras["spill_paf"],
-                         gz_out=extras["gz_out"])
+                         gz_out=extras["gz_out"],
+                         cov_out=extras["cov_out"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

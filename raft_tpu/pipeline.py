@@ -145,6 +145,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  chunk_reads: int | None = None,
                  spill_paf: bool | None = None,
                  gz_out: bool = False,
+                 cov_out: str | None = None,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files.
 
@@ -168,7 +169,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                                    chunk_reads, strict=strict,
                                    verbose=verbose, use_pallas=use_pallas,
                                    mesh=mesh, spill_paf=spill_paf,
-                                   gz_out=gz_out)
+                                   gz_out=gz_out, cov_out=cov_out)
         if st is not None:
             return st
         if verbose:
@@ -203,7 +204,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         elif engine == "jax":
             from raft_tpu.engine_jax import compute_jax
             res = compute_jax(store, table, params, strict=strict,
-                              use_pallas=use_pallas, mesh=mesh)
+                              use_pallas=use_pallas, mesh=mesh,
+                              cov_out=cov_out)
         else:
             raise ValueError(f"unknown engine {engine!r}")
 
@@ -254,7 +256,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                           verbose: bool = True, use_pallas: bool = False,
                           mesh=None,
                           spill_paf: bool | None = None,
-                          gz_out: bool = False) -> RunStats | None:
+                          gz_out: bool = False,
+                          cov_out: str | None = None) -> RunStats | None:
     """Streaming pipeline: index pass → full PAF → per-chunk byte-range
     parse, compute, and append-emit with global numbering offsets.
 
@@ -358,7 +361,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                                     ev_hi[a:b], symmetric)
         with _Timer(stats, "compute"):
             res = compute_jax(store, sub_table, params, strict=strict,
-                              use_pallas=use_pallas, mesh=mesh)
+                              use_pallas=use_pallas, mesh=mesh,
+                              cov_out=cov_out)
 
         with _Timer(stats, "emit"):
             emit.write_fragments_fasta(

@@ -168,3 +168,23 @@ def test_stats_json_and_chunked_cli(tmp_path):
     assert stats["n_fragments"] >= 12
     assert stats["peak_rss_mb"] > 0
     assert (tmp_path / "sj.reads.fasta").exists()
+
+
+def test_cov_out_cli_modes(tmp_path):
+    """--cov-out {host,diff8,cov} must produce identical outputs."""
+    reads, paf = _case(tmp_path)
+    outs = {}
+    for mode in ("host", "diff8", "cov"):
+        args = ["-e", "10", "-p", "2000", "-l", "4000",
+                "-o", str(tmp_path / mode), "--engine", "jax",
+                "--cov-out", mode, reads, paf]
+        from raft_tpu import cli
+        old = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            assert cli.main(args) == 0
+        finally:
+            os.chdir(old)
+        outs[mode] = (tmp_path / f"{mode}.coverage.txt").read_bytes()
+        assert (tmp_path / f"{mode}.reads.fasta").exists()
+    assert outs["host"] == outs["diff8"] == outs["cov"]
