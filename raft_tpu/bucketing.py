@@ -77,13 +77,21 @@ class Bucket:
 
 
 def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
+                 ev_hi: np.ndarray, reso: int, **kw) -> list[Bucket]:
+    """List form of :func:`iter_buckets` (see there for semantics)."""
+    return list(iter_buckets(lens, ev_read, ev_lo, ev_hi, reso, **kw))
+
+
+def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  ev_hi: np.ndarray, reso: int,
                  min_w: int = 64, max_rows: int = 4096,
                  row_quantum: int = 8, min_rows: int = 256,
-                 max_cells: int = 1 << 23) -> list[Bucket]:
+                 max_cells: int = 1 << 23):
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
-    pure vectorized numpy.
+    pure vectorized numpy. A generator: the engine stages/dispatches each
+    bucket while the next is still being built, so H2D transfer overlaps
+    bucket preparation.
 
     Sparse buckets (< min_rows reads) merge into the next-larger W tier:
     each bucket costs a device round trip (latency-bound on tunneled
@@ -122,7 +130,6 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     w1_all = np.where(ev_hi_s < 0, -1,
                       ev_hi_s.astype(np.int64) // reso).astype(np.int32)
 
-    buckets: list[Bucket] = []
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]
         rows_cap = max(row_quantum, min(max_rows, max_cells // int(key)))
@@ -168,8 +175,7 @@ def make_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                     np.arange(n_used, dtype=dt), cnt)
                 ev_w0_b[:tot] = w0_all[src]
                 ev_w1_b[:tot] = w1_all[src]
-            buckets.append(Bucket(
+            yield Bucket(
                 read_ids=rids, B=B, W=W, E=E, lens=blens,
                 ev_row=ev_row_b, ev_w0=ev_w0_b, ev_w1=ev_w1_b,
-                ev_off=ev_off_b, n_used=n_used))
-    return buckets
+                ev_off=ev_off_b, n_used=n_used)

@@ -376,9 +376,6 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     if strict:
         _validate_events(lens, ev_read, ev_lo, ev_hi, params.reso)
 
-    buckets = bucketing.make_buckets(lens, ev_read, ev_lo, ev_hi,
-                                     params.reso)
-
     step = device_step
     n_shards = 1
     if mesh is not None:
@@ -386,42 +383,40 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         step = sharded_device_step(mesh)
         n_shards = mesh.devices.size
 
-    prepared = []
-    for bk in buckets:
-        if n_shards > 1:
-            from raft_tpu.parallel.mesh import shard_bucket
-            bk = shard_bucket(bk, n_shards)
-        # cfg describes PER-SHARD shapes under shard_map
-        cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards, params,
-                         use_pallas=use_pallas, cov_out=cov_out)
-        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
-                jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
-        prepared.append((bk, cfg, args))
-
-    # Pre-compile distinct shapes with bounded concurrency. Concurrency 2
-    # pipelines tunnel RPC latency without thrashing the compile server
-    # (8-way was measured slower than serial on the tunneled terminal).
-    distinct = {}
-    for _, cfg, args in prepared:
-        key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
-        distinct.setdefault(key, (cfg, args))
-    if len(distinct) > 1:
-        import concurrent.futures as cf
-        workers = int(os.environ.get("RAFT_COMPILE_WORKERS", "2"))
-        if workers > 1:
-            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-                list(ex.map(
-                    lambda ca: step.lower(*ca[1], cfg=ca[0]).compile(),
-                    distinct.values()))
-
-    outs = []
-    for bk, cfg, args in prepared:
-        out = step(*args, cfg=cfg)
-        outs.append((bk, cfg, args, out))
-
-    # fetch in a worker thread so D2H transfers overlap the host-side
-    # integration (int8 diff → int32 cumsum) of the previous bucket
     import concurrent.futures as cf
+
+    # Streaming prep: each bucket is staged (async H2D) the moment it is
+    # built, so transfer bytes flow while the next bucket's numpy routing
+    # runs; unseen shapes compile on a small pool (concurrency 2 pipelines
+    # tunnel RPC latency without thrashing the compile server — 8-way was
+    # measured slower than serial on the tunneled terminal).
+    workers = max(1, int(os.environ.get("RAFT_COMPILE_WORKERS", "2")))
+    prepared = []
+    compiles: dict = {}
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
+                                         params.reso):
+            if n_shards > 1:
+                bk = shard_bucket(bk, n_shards)
+            # cfg describes PER-SHARD shapes under shard_map
+            cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards,
+                             params, use_pallas=use_pallas, cov_out=cov_out)
+            args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
+                    jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+            key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
+            if key not in compiles:
+                compiles[key] = pool.submit(
+                    lambda c=cfg, a=args: step.lower(*a, cfg=c).compile())
+            prepared.append((bk, cfg, args, key))
+
+        outs = []
+        for bk, cfg, args, key in prepared:
+            compiles[key].result()  # jit cache shared → dispatch is cheap
+            out = step(*args, cfg=cfg)
+            outs.append((bk, cfg, args, out))
+
+    # fetch in a worker thread so D2H transfers and the host-side coverage
+    # rebuild overlap the integration of the previous bucket
 
     def _fetch(item):
         bk, cfg, args, out = item
