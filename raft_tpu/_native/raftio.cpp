@@ -1810,6 +1810,49 @@ int raftio_emit_coverage(const char* path, const int32_t* cov,
   return emit_sharded(path, n_reads, append, render, gz);
 }
 
+// coverage.txt rendered straight from window-binned events (the fast
+// path: the engine never materializes the O(total windows) coverage
+// array — each render thread rebuilds one read's coverage in a reused
+// diff buffer while formatting). Same bytes as raftio_emit_coverage on
+// the materialized array. w1 is inclusive; w1 one past the last window
+// clamps to the row end exactly like the device's row-local carry.
+int raftio_emit_coverage_events(const char* path, const int32_t* w0,
+                                const int32_t* w1, const int64_t* ev_off,
+                                const int64_t* cov_off, int64_t n_reads,
+                                int32_t reso, int64_t first_read_index,
+                                int append, int gz) {
+  auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
+  std::vector<int32_t> diff;
+  for (int64_t i = ilo; i < ihi; i++) {
+    int64_t nw = cov_off[i + 1] - cov_off[i];
+    diff.assign(static_cast<size_t>(nw + 1), 0);
+    for (int64_t j = ev_off[i]; j < ev_off[i + 1]; j++) {
+      int64_t a = w0[j];
+      int64_t b = w1[j];
+      if (b < a || a < 0 || a >= nw) continue;
+      if (b >= nw) b = nw - 1;
+      diff[a]++;
+      diff[b + 1]--;
+    }
+    w.put("read ", 5);
+    w.putint(first_read_index + i);
+    w.putc(' ');
+    int64_t wstart = 0;
+    int32_t c = 0;
+    for (int64_t k = 0; k < nw; k++) {
+      c += diff[k];
+      w.putint(wstart);
+      w.putc(',');
+      w.putint(c);
+      w.putc(' ');
+      wstart += reso;
+    }
+    w.putc('\n');
+  }
+  };
+  return emit_sharded(path, n_reads, append, render, gz);
+}
+
 // long_repeats.txt: "read {i}, " + "{s},{e}    " per interval + "\n"
 int raftio_emit_repeats(const char* path, const int32_t* rep_s,
                         const int32_t* rep_e, const int64_t* rep_off,

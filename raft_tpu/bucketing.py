@@ -86,7 +86,7 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  ev_hi: np.ndarray, reso: int,
                  min_w: int = 64, max_rows: int = 4096,
                  row_quantum: int = 8, min_rows: int = 256,
-                 max_cells: int = 1 << 23):
+                 max_cells: int = 1 << 23, presorted: bool = False):
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
     pure vectorized numpy. A generator: the engine stages/dispatches each
@@ -118,10 +118,13 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     keys = np.unique(w_bucket)
 
     # order events by read for slicing
-    order = np.argsort(ev_read, kind="stable")
-    ev_read_s = ev_read[order]
-    ev_lo_s = ev_lo[order]
-    ev_hi_s = ev_hi[order]
+    if presorted:  # caller already sorted read-major (e.g. compute_jax)
+        ev_read_s, ev_lo_s, ev_hi_s = ev_read, ev_lo, ev_hi
+    else:
+        order = np.argsort(ev_read, kind="stable")
+        ev_read_s = ev_read[order]
+        ev_lo_s = ev_lo[order]
+        ev_hi_s = ev_hi[order]
     bounds = np.searchsorted(ev_read_s, np.arange(n + 1))
     ev_counts = np.diff(bounds)
 

@@ -41,8 +41,14 @@ def write_coverage(path: str, reso: int, res: ComputeResult,
                    first_read_index: int = 0,
                    append: bool = False, gz: bool = False) -> None:
     from raft_tpu.io import native
-    if use_native and native.emit_coverage(path, res.cov_flat, res.cov_off,
-                                           res.n_reads, reso,
+    if use_native and res.cov_flat is None and res.cov_ev_w0 is not None:
+        if native.emit_coverage_events(
+                path, res.cov_ev_w0, res.cov_ev_w1, res.cov_ev_off,
+                res.cov_off, res.n_reads, reso, first_read_index, append,
+                gz):
+            return
+    if use_native and native.emit_coverage(path, res.ensure_cov(),
+                                           res.cov_off, res.n_reads, reso,
                                            first_read_index, append, gz):
         return
     with _open_text(path, append, gz) as f:

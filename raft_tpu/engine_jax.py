@@ -376,6 +376,13 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     if strict:
         _validate_events(lens, ev_read, ev_lo, ev_hi, params.reso)
 
+    # sort events read-major once; bucketing and the event-backed
+    # coverage emission both consume the sorted layout
+    order = np.argsort(ev_read, kind="stable")
+    ev_read = ev_read[order]
+    ev_lo = ev_lo[order]
+    ev_hi = ev_hi[order]
+
     step = device_step
     n_shards = 1
     if mesh is not None:
@@ -395,7 +402,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     compiles: dict = {}
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
-                                         params.reso):
+                                         params.reso, presorted=True):
             if n_shards > 1:
                 bk = shard_bucket(bk, n_shards)
             # cfg describes PER-SHARD shapes under shard_map
@@ -420,12 +427,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
 
     def _fetch(item):
         bk, cfg, args, out = item
-        out = jax.device_get(out)
-        if "diff8" not in out and "cov" not in out:
-            # cov_out="host": rebuild the emission coverage from the
-            # bucket's own events while the device runs the next bucket
-            out["cov"] = _host_cov_bucket(bk, n_shards)
-        return bk, cfg, args, out
+        return bk, cfg, args, jax.device_get(out)
 
     fetched = []
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
@@ -459,7 +461,27 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     rep_off = _cumsum0(rep_n_all)
     frag_off = _cumsum0(frag_n_all)
 
-    cov_flat = np.empty(int(cov_off[-1]), dtype=np.int32)
+    # In cov_out="host" mode no bucket returns coverage: the result is
+    # event-backed (the native emitter renders coverage.txt straight from
+    # the sorted binned events; total_coverage is a closed-form sum)
+    ev_backed = all("cov" not in out for _, out in outs)
+    if ev_backed:
+        w0s = (ev_lo.astype(np.int64) // reso).astype(np.int32)
+        w1s = np.where(ev_hi < 0, -1,
+                       ev_hi.astype(np.int64) // reso).astype(np.int32)
+        ev_off_g = np.searchsorted(ev_read, np.arange(n + 1)).astype(
+            np.int64)
+        # closed-form Σcov with the renderer's exact clamp semantics
+        nwr = nw_all[ev_read]
+        valid = (w1s >= w0s) & (w0s >= 0) & (w0s < nwr)
+        total_cov = int(np.where(
+            valid,
+            np.minimum(w1s.astype(np.int64), nwr - 1) - w0s + 1,
+            0).sum())
+        cov_flat = None
+    else:
+        w0s = w1s = ev_off_g = None
+        cov_flat = np.empty(int(cov_off[-1]), dtype=np.int32)
     rep_s = np.empty(int(rep_off[-1]), dtype=np.int32)
     rep_e = np.empty(int(rep_off[-1]), dtype=np.int32)
     n_frags = int(frag_off[-1])
@@ -472,9 +494,11 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         nu = bk.n_used
         rid = bk.read_ids
         rows = np.arange(nu, dtype=np.int64)
-        W = out["cov"].shape[1]
-        s_idx, d_idx = _slab_copy_idx(nw_all[rid], rows * W, cov_off[rid])
-        cov_flat[d_idx] = out["cov"].ravel()[s_idx]
+        if not ev_backed:
+            W = out["cov"].shape[1]
+            s_idx, d_idx = _slab_copy_idx(nw_all[rid], rows * W,
+                                          cov_off[rid])
+            cov_flat[d_idx] = out["cov"].ravel()[s_idx]
 
         K = out["rep_s"].shape[1]
         s_idx, d_idx = _slab_copy_idx(rep_n_all[rid], rows * K, rep_off[rid])
@@ -495,10 +519,12 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         rep_s=rep_s, rep_e=rep_e, rep_off=rep_off,
         frag_read=frag_read, frag_char_start=frag_cs,
         frag_char_len=frag_cl, frag_whole=frag_wh,
-        total_coverage=int(cov_flat.sum(dtype=np.int64)),
+        total_coverage=(total_cov if ev_backed
+                        else int(cov_flat.sum(dtype=np.int64))),
         total_windows=int(nw_all.sum()),
         total_repeat_length=total_rep_len,
         total_read_length=int(lens.astype(np.int64).sum()),
+        cov_ev_w0=w0s, cov_ev_w1=w1s, cov_ev_off=ev_off_g,
     )
 
 
@@ -512,27 +538,6 @@ def _bucket_global_rows(bk, n_shards: int) -> np.ndarray:
         slab = np.arange(len(rows), dtype=np.int64) // E_s
         rows = np.where(rows >= B_local, bk.B, slab * B_local + rows)
     return rows
-
-
-def _host_cov_bucket(bk, n_shards: int) -> np.ndarray:
-    """[n_used, W] int32 coverage of a whole bucket from its own events
-    (bincount diff + row cumsum — the same formulation the device runs,
-    repeat.hpp:62-77 semantics). Used by cov_out='host', which keeps the
-    device's coverage matrix on device: the emission copy is cheaper to
-    recompute here than to ship over a bandwidth-bound link."""
-    W = bk.W
-    nu = bk.n_used
-    stride = W + 1
-    rows = _bucket_global_rows(bk, n_shards)
-    w0 = np.asarray(bk.ev_w0, dtype=np.int64)
-    w1 = np.asarray(bk.ev_w1, dtype=np.int64)
-    sel = ((rows < nu) & (w1 >= w0)
-           & (w0 >= 0) & (w0 <= W) & (w1 + 1 <= W))
-    d = np.bincount(rows[sel] * stride + w0[sel],
-                    minlength=nu * stride).astype(np.int32)
-    d -= np.bincount(rows[sel] * stride + w1[sel] + 1,
-                     minlength=nu * stride).astype(np.int32)
-    return np.cumsum(d.reshape(nu, stride)[:, :W], axis=1, dtype=np.int32)
 
 
 def _host_cov_rows(bk, n_shards: int, bad: np.ndarray,

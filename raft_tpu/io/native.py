@@ -122,6 +122,10 @@ def _configure(lib):
     lib.raftio_emit_coverage.argtypes = [
         C.c_char_p, i32p, i64p, C.c_int64, C.c_int32, C.c_int64, C.c_int,
         C.c_int]
+    lib.raftio_emit_coverage_events.restype = C.c_int
+    lib.raftio_emit_coverage_events.argtypes = [
+        C.c_char_p, i32p, i32p, i64p, i64p, C.c_int64, C.c_int32,
+        C.c_int64, C.c_int, C.c_int]
     lib.raftio_emit_repeats.restype = C.c_int
     lib.raftio_emit_repeats.argtypes = [
         C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64, C.c_int,
@@ -477,6 +481,25 @@ def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
         return False
     rc = lib.raftio_emit_coverage(
         path.encode(), np.ascontiguousarray(cov_flat, dtype=np.int32),
+        np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
+        first_read_index, int(append), int(gz))
+    return rc == 0
+
+
+def emit_coverage_events(path: str, w0: np.ndarray, w1: np.ndarray,
+                         ev_off: np.ndarray, cov_off: np.ndarray,
+                         n_reads: int, reso: int,
+                         first_read_index: int = 0, append: bool = False,
+                         gz: bool = False) -> bool:
+    """coverage.txt straight from window-binned events (no materialized
+    coverage array)."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    rc = lib.raftio_emit_coverage_events(
+        path.encode(), np.ascontiguousarray(w0, dtype=np.int32),
+        np.ascontiguousarray(w1, dtype=np.int32),
+        np.ascontiguousarray(ev_off, dtype=np.int64),
         np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
         first_read_index, int(append), int(gz))
     return rc == 0

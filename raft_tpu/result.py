@@ -25,8 +25,12 @@ import numpy as np
 @dataclasses.dataclass
 class ComputeResult:
     n_reads: int
-    # coverage, read-id order
-    cov_flat: np.ndarray   # int32 [sum n_windows]
+    # coverage, read-id order. Either materialized (cov_flat) or held as
+    # window-binned events (cov_ev_*, read-major) from which the native
+    # coverage emitter renders text directly — the fast path never builds
+    # the O(total windows) int32 array at all. cov_off always holds the
+    # per-read window offsets (cumsum of ceil(len/reso)).
+    cov_flat: np.ndarray | None  # int32 [sum n_windows] or None
     cov_off: np.ndarray    # int64 [n+1]
     # repeat intervals (clamped, flank-expanded), read-id order
     rep_s: np.ndarray      # int32 [sum rep_n]
@@ -42,17 +46,73 @@ class ComputeResult:
     total_windows: int = 0
     total_repeat_length: int = 0
     total_read_length: int = 0
+    # event-backed coverage (cov_flat is None): window-binned inclusive
+    # intervals sorted by read id with per-read offsets
+    cov_ev_w0: np.ndarray | None = None  # int32 [n_events]
+    cov_ev_w1: np.ndarray | None = None  # int32 [n_events]
+    cov_ev_off: np.ndarray | None = None  # int64 [n+1]
 
     @property
     def n_frags(self) -> int:
         return int(self.frag_read.shape[0])
 
+    def ensure_cov(self) -> np.ndarray:
+        """Materialize cov_flat from the coverage events (lazy path for
+        tests and python fallbacks; the native emitter renders straight
+        from the events and never calls this)."""
+        if self.cov_flat is None:
+            self.cov_flat = _cov_from_events(
+                self.cov_ev_w0, self.cov_ev_w1, self.cov_ev_off,
+                self.cov_off, self.n_reads)
+        return self.cov_flat
+
     def cov(self, i: int) -> np.ndarray:
+        if self.cov_flat is None:
+            nw = int(self.cov_off[i + 1] - self.cov_off[i])
+            a, b = int(self.cov_ev_off[i]), int(self.cov_ev_off[i + 1])
+            return _cov_one(self.cov_ev_w0[a:b], self.cov_ev_w1[a:b], nw)
         return self.cov_flat[self.cov_off[i]:self.cov_off[i + 1]]
 
     def repeats(self, i: int) -> list[tuple[int, int]]:
         s, e = self.rep_off[i], self.rep_off[i + 1]
         return list(zip(self.rep_s[s:e].tolist(), self.rep_e[s:e].tolist()))
+
+
+def _cov_one(w0: np.ndarray, w1: np.ndarray, nw: int) -> np.ndarray:
+    """One read's coverage from its window-binned inclusive events
+    (diff + cumsum; end clamped to the row like the device's carry)."""
+    d = np.zeros(nw + 1, dtype=np.int32)
+    sel = (w1 >= w0) & (w0 >= 0) & (w0 < nw)
+    np.add.at(d, w0[sel], 1)
+    np.add.at(d, np.minimum(w1[sel].astype(np.int64) + 1, nw), -1)
+    return np.cumsum(d[:nw], dtype=np.int32)
+
+
+def _cov_from_events(w0, w1, ev_off, cov_off, n_reads) -> np.ndarray:
+    """All reads' coverage from read-major events, vectorized.
+
+    Uses one sentinel slot per read (flat index cov_off[r] + r + w) so a
+    -1 falling one past a read's last window lands in the sentinel; the
+    global cumsum then carries exactly zero across read boundaries
+    because every +1 is cancelled within its read's extended region."""
+    n_ev = len(w0) if w0 is not None else 0
+    total = int(cov_off[-1])
+    ext = np.zeros(total + n_reads + 1, dtype=np.int32)
+    if n_ev:
+        nw = np.diff(cov_off)
+        r = np.searchsorted(ev_off, np.arange(n_ev), side="right") - 1
+        base = cov_off[r] + r
+        a = w0.astype(np.int64)
+        b = w1.astype(np.int64)
+        nwr = nw[r]
+        sel = (b >= a) & (a >= 0) & (a < nwr)
+        np.add.at(ext, base[sel] + a[sel], 1)
+        np.add.at(ext, base[sel] + np.minimum(b[sel] + 1, nwr[sel]), -1)
+    cov_ext = np.cumsum(ext[:total + n_reads], dtype=np.int32)
+    # drop the per-read sentinel slots
+    keep = np.ones(total + n_reads, dtype=bool)
+    keep[cov_off[1:] + np.arange(n_reads)] = False
+    return cov_ext[keep]
 
 
 def from_per_read_lists(n_reads, coverages, repeats_per_read,

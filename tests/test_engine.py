@@ -32,7 +32,7 @@ def _mk_table(rows):
 
 
 def _assert_equal(res_a, res_b):
-    np.testing.assert_array_equal(res_a.cov_flat, res_b.cov_flat)
+    np.testing.assert_array_equal(res_a.ensure_cov(), res_b.ensure_cov())
     np.testing.assert_array_equal(res_a.cov_off, res_b.cov_off)
     np.testing.assert_array_equal(res_a.rep_s, res_b.rep_s)
     np.testing.assert_array_equal(res_a.rep_e, res_b.rep_e)
@@ -59,7 +59,7 @@ def test_int8_overflow_fallback():
     want = from_per_read_lists(2, cov, reps, frags, st)
     _assert_equal(res, want)
     # sanity: the engineered pileup really exceeded int8
-    assert res.cov_flat.max() >= 200
+    assert res.ensure_cov().max() >= 200
 
 
 def test_engines_equal_random():

@@ -40,7 +40,7 @@ def test_sharded_matches_single(tmp_path):
     assert r1.total_coverage == r8.total_coverage
     assert r1.total_windows == r8.total_windows
     assert r1.total_repeat_length == r8.total_repeat_length
-    np.testing.assert_array_equal(r1.cov_flat, r8.cov_flat)
+    np.testing.assert_array_equal(r1.ensure_cov(), r8.ensure_cov())
     np.testing.assert_array_equal(r1.rep_s, r8.rep_s)
     np.testing.assert_array_equal(r1.rep_e, r8.rep_e)
     np.testing.assert_array_equal(r1.rep_off, r8.rep_off)
@@ -61,7 +61,7 @@ def test_sharded_matches_single_smaller_mesh(tmp_path):
     mesh = make_mesh(4)
     r4 = compute_jax(store, table, params, mesh=mesh)
     assert r1.total_repeat_length == r4.total_repeat_length
-    np.testing.assert_array_equal(r1.cov_flat, r4.cov_flat)
+    np.testing.assert_array_equal(r1.ensure_cov(), r4.ensure_cov())
     np.testing.assert_array_equal(r1.frag_char_start, r4.frag_char_start)
     np.testing.assert_array_equal(r1.frag_char_len, r4.frag_char_len)
 
@@ -93,7 +93,7 @@ def test_sharded_int8_overflow_host_rebuild():
                      cov_out="diff8")
     rh = compute_jax(store, table, params, mesh=make_mesh(8),
                      cov_out="host")
-    np.testing.assert_array_equal(r1.cov_flat, r8.cov_flat)
+    np.testing.assert_array_equal(r1.ensure_cov(), r8.ensure_cov())
     np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
-    np.testing.assert_array_equal(r1.cov_flat, rh.cov_flat)
-    assert r1.cov_flat.max() >= 200
+    np.testing.assert_array_equal(r1.ensure_cov(), rh.ensure_cov())
+    assert r1.ensure_cov().max() >= 200
