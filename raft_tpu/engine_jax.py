@@ -365,9 +365,16 @@ def _slab_copy_idx(cnt: np.ndarray, src_start: np.ndarray,
 
 def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 strict: bool = True, use_pallas: bool = False,
-                mesh=None, cov_out: str | None = None) -> "ComputeResult":
+                mesh=None, cov_out: str | None = None,
+                on_cov_events=None) -> "ComputeResult":
     """JAX engine: device batches in, flat ComputeResult out (no per-read
-    Python loops anywhere)."""
+    Python loops anywhere).
+
+    ``on_cov_events``: in ``cov_out="host"`` mode the event-backed
+    coverage (everything ``.coverage.txt`` needs) is fully determined
+    before any device work — when given, this callback receives a
+    coverage-only ComputeResult right after event prep so the caller can
+    overlap coverage emission with the device stage."""
     from raft_tpu.result import ComputeResult
 
     n = store.n_reads
@@ -382,6 +389,44 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     ev_read = ev_read[order]
     ev_lo = ev_lo[order]
     ev_hi = ev_hi[order]
+
+    reso = params.reso
+    nw_all = (-(-lens.astype(np.int64) // reso))
+    cov_off = _cumsum0(nw_all)
+    mode = cov_out or default_cov_out()
+    # device_step_impl treats anything but diff8/cov as "host"
+    ev_backed = mode not in ("diff8", "cov")
+    if ev_backed:
+        # Event-backed coverage: the emitter renders .coverage.txt
+        # straight from the window-binned events (the coverage matrix
+        # never leaves the device). All of it is known NOW.
+        w0s = (ev_lo.astype(np.int64) // reso).astype(np.int32)
+        w1s = np.where(ev_hi < 0, -1,
+                       ev_hi.astype(np.int64) // reso).astype(np.int32)
+        ev_off_g = np.searchsorted(ev_read, np.arange(n + 1)).astype(
+            np.int64)
+        # closed-form Σcov with the renderer's exact clamp semantics
+        nwr = nw_all[ev_read]
+        valid = (w1s >= w0s) & (w0s >= 0) & (w0s < nwr)
+        total_cov = int(np.where(
+            valid,
+            np.minimum(w1s.astype(np.int64), nwr - 1) - w0s + 1,
+            0).sum())
+        cov_flat = None
+        if on_cov_events is not None:
+            z32 = np.empty(0, np.int32)
+            z64 = np.empty(0, np.int64)
+            on_cov_events(ComputeResult(
+                n_reads=n, cov_flat=None, cov_off=cov_off,
+                rep_s=z32, rep_e=z32,
+                rep_off=np.zeros(n + 1, np.int64),
+                frag_read=z32, frag_char_start=z64, frag_char_len=z64,
+                frag_whole=np.empty(0, bool),
+                total_coverage=total_cov, total_windows=int(nw_all.sum()),
+                cov_ev_w0=w0s, cov_ev_w1=w1s, cov_ev_off=ev_off_g))
+    else:
+        w0s = w1s = ev_off_g = None
+        cov_flat = np.empty(int(cov_off[-1]), dtype=np.int32)
 
     step = device_step
     n_shards = 1
@@ -447,9 +492,6 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     outs = fetched
 
     # global offsets in read-id order
-    reso = params.reso
-    nw_all = (-(-lens.astype(np.int64) // reso))
-    cov_off = _cumsum0(nw_all)
     rep_n_all = np.zeros(n, dtype=np.int64)
     frag_n_all = np.zeros(n, dtype=np.int64)
     total_rep_len = 0
@@ -461,27 +503,6 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     rep_off = _cumsum0(rep_n_all)
     frag_off = _cumsum0(frag_n_all)
 
-    # In cov_out="host" mode no bucket returns coverage: the result is
-    # event-backed (the native emitter renders coverage.txt straight from
-    # the sorted binned events; total_coverage is a closed-form sum)
-    ev_backed = all("cov" not in out for _, out in outs)
-    if ev_backed:
-        w0s = (ev_lo.astype(np.int64) // reso).astype(np.int32)
-        w1s = np.where(ev_hi < 0, -1,
-                       ev_hi.astype(np.int64) // reso).astype(np.int32)
-        ev_off_g = np.searchsorted(ev_read, np.arange(n + 1)).astype(
-            np.int64)
-        # closed-form Σcov with the renderer's exact clamp semantics
-        nwr = nw_all[ev_read]
-        valid = (w1s >= w0s) & (w0s >= 0) & (w0s < nwr)
-        total_cov = int(np.where(
-            valid,
-            np.minimum(w1s.astype(np.int64), nwr - 1) - w0s + 1,
-            0).sum())
-        cov_flat = None
-    else:
-        w0s = w1s = ev_off_g = None
-        cov_flat = np.empty(int(cov_off[-1]), dtype=np.int32)
     rep_s = np.empty(int(rep_off[-1]), dtype=np.int32)
     rep_e = np.empty(int(rep_off[-1]), dtype=np.int32)
     n_frags = int(frag_off[-1])

@@ -194,6 +194,22 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     if verbose:
         print(f"high_cov {params.high_cov}")
 
+    import concurrent.futures as cf
+    prefix = params.outputfilename
+    un = use_native is not False
+    sfx = ".gz" if gz_out else ""
+    # in cov_out="host" mode .coverage.txt depends only on the (sorted)
+    # events — the engine hands them over before any device work, and the
+    # emitter runs concurrently with the device stage (it releases the
+    # GIL; the device stage is transfer-bound)
+    cov_pool = cf.ThreadPoolExecutor(max_workers=1)
+    cov_fut: list = []
+
+    def _on_cov(early_res):
+        cov_fut.append(cov_pool.submit(
+            emit.write_coverage, prefix + ".coverage.txt" + sfx,
+            params.reso, early_res, un, gz=gz_out))
+
     with _Timer(stats, "compute"):
         if engine == "oracle":
             from raft_tpu.result import from_per_read_lists
@@ -205,7 +221,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
             from raft_tpu.engine_jax import compute_jax
             res = compute_jax(store, table, params, strict=strict,
                               use_pallas=use_pallas, mesh=mesh,
-                              cov_out=cov_out)
+                              cov_out=cov_out, on_cov_events=_on_cov)
         else:
             raise ValueError(f"unknown engine {engine!r}")
 
@@ -223,15 +239,12 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
               f"{stats.coverage_per_window / params.est_cov:f} ")
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
 
-    prefix = params.outputfilename
-    un = use_native is not False
-    sfx = ".gz" if gz_out else ""
     with _Timer(stats, "emit"):
         # the four writers touch disjoint files and release the GIL in
         # the native emitters — run them concurrently
-        import concurrent.futures as cf
         with cf.ThreadPoolExecutor(max_workers=4) as ex:
             futs = [
+                cov_fut[0] if cov_fut else
                 ex.submit(emit.write_coverage,
                           prefix + ".coverage.txt" + sfx,
                           params.reso, res, un, gz=gz_out),
@@ -248,6 +261,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
             for f in futs[:-1]:
                 f.result()
             stats.n_fragments = futs[-1].result()
+    cov_pool.shutdown()
     return stats
 
 
@@ -330,6 +344,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         ev_lo = ev_lo[order]
         ev_hi = ev_hi[order]
 
+    import concurrent.futures as cf
+    cov_pool = cf.ThreadPoolExecutor(max_workers=1)
     prefix = params.outputfilename
     sfx = ".gz" if gz_out else ""
     rec_off = idx["rec_off"]
@@ -359,19 +375,34 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
             a, b = np.searchsorted(ev_read, [lo, hi])
             sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b],
                                     ev_hi[a:b], symmetric)
+        # overlap this chunk's coverage emission with its device stage
+        # (safe for append ordering: the previous chunk's emit stage
+        # completed before this chunk's compute started)
+        cov_fut: list = []
+        app = not first
+
+        def _on_cov(early_res, _lo=lo, _app=app):
+            cov_fut.append(cov_pool.submit(
+                emit.write_coverage, prefix + ".coverage.txt" + sfx,
+                params.reso, early_res, first_read_index=_lo,
+                append=_app, gz=gz_out))
+
         with _Timer(stats, "compute"):
             res = compute_jax(store, sub_table, params, strict=strict,
                               use_pallas=use_pallas, mesh=mesh,
-                              cov_out=cov_out)
+                              cov_out=cov_out, on_cov_events=_on_cov)
 
         with _Timer(stats, "emit"):
             emit.write_fragments_fasta(
                 prefix + ".reads.fasta" + sfx, store, params, res,
                 first_read_num=frag_num, append=not first, gz=gz_out)
-            emit.write_coverage(prefix + ".coverage.txt" + sfx,
-                                params.reso, res,
-                                first_read_index=lo, append=not first,
-                                gz=gz_out)
+            if cov_fut:
+                cov_fut[0].result()
+            else:
+                emit.write_coverage(prefix + ".coverage.txt" + sfx,
+                                    params.reso, res,
+                                    first_read_index=lo, append=not first,
+                                    gz=gz_out)
             emit.write_long_repeats(prefix + ".long_repeats.txt" + sfx, res,
                                     first_read_index=lo, append=not first,
                                     gz=gz_out)
@@ -389,6 +420,7 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     stats.n_paf_rows = n_paf_rows
     stats.symmetric = symmetric
     stats.n_fragments = frag_num - 1
+    cov_pool.shutdown()
     if bins is not None:
         bins.close()
     if verbose:
