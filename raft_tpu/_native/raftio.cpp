@@ -921,6 +921,80 @@ RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
   return pf;
 }
 
+// ---------------------------------------------------------------------------
+// Grouped coverage events: six PAF columns → read-grouped, window-binned
+// events in one counting-sort pass. Event semantics mirror the reference:
+// every row contributes its A side (repeat.hpp:50-53); the B side only
+// when the PAF is not symmetric and a_id != b_id (chop.hpp:166-169 +
+// repeat.hpp:54-58; self-overlaps count once). Rows naming reads absent
+// from the FASTA are dropped per side and counted (reference UB:
+// chop.hpp:165 vs sizing at chop.hpp:361-364); kept events with lo < 0 or
+// end > read length are counted as out-of-bounds (reference UB:
+// repeat.hpp:69-73) so the caller can enforce strict mode. Within a read,
+// event order is row order (A/B interleaved) — every consumer
+// (scatter-add pileup, diff+cumsum render) is order-independent.
+// ---------------------------------------------------------------------------
+struct RaftGroupedEv {
+  std::vector<int64_t> off;   // [n_reads + 1] exclusive per-read offsets
+  std::vector<int32_t> w0, w1;  // [m] binned windows (w1 inclusive; -1 empty)
+  int64_t n_unknown = 0;  // unknown-name sides over all rows (both sides)
+  int64_t n_oob = 0;      // kept events violating 0 <= lo, end <= len
+};
+
+static inline int32_t floordiv32(int64_t a, int32_t b) {
+  int64_t q = a / b, r = a % b;
+  if (r != 0 && ((r < 0) != (b < 0))) q--;
+  return static_cast<int32_t>(q);
+}
+
+RaftGroupedEv* raftio_group_events(
+    const int32_t* a_id, const int32_t* b_id,
+    const int32_t* a_s, const int32_t* a_e,
+    const int32_t* b_s, const int32_t* b_e,
+    int64_t n_rows, int symmetric,
+    int64_t n_reads, const int64_t* lens, int32_t reso) {
+  auto* g = new RaftGroupedEv();
+  g->off.assign(static_cast<size_t>(n_reads) + 1, 0);
+  int64_t* cnt = g->off.data() + 1;  // counts accumulate at off[1..n]
+  for (int64_t r = 0; r < n_rows; r++) {
+    const int32_t a = a_id[r], b = b_id[r];
+    if (a >= 0 && a < n_reads) cnt[a]++; else g->n_unknown++;
+    if (b < 0 || b >= n_reads) g->n_unknown++;
+    else if (!symmetric && a != b) cnt[b]++;
+  }
+  for (int64_t i = 0; i < n_reads; i++) g->off[i + 1] += g->off[i];
+  const int64_t m = g->off[n_reads];
+  g->w0.resize(static_cast<size_t>(m));
+  g->w1.resize(static_cast<size_t>(m));
+  std::vector<int64_t> cur(g->off.begin(), g->off.end() - 1);
+  int64_t oob = 0;
+  auto put = [&](int32_t rid, int64_t lo, int64_t hi) {
+    const int64_t k = cur[rid]++;
+    g->w0[k] = floordiv32(lo, reso);  // numpy floor-division semantics
+    g->w1[k] = hi < 0 ? -1 : static_cast<int32_t>(hi / reso);
+    if (lo < 0 || hi >= lens[rid]) oob++;
+  };
+  for (int64_t r = 0; r < n_rows; r++) {
+    const int32_t a = a_id[r], b = b_id[r];
+    if (a >= 0 && a < n_reads)
+      put(a, a_s[r], static_cast<int64_t>(a_e[r]) - 1);
+    if (!symmetric && a != b && b >= 0 && b < n_reads)
+      put(b, b_s[r], static_cast<int64_t>(b_e[r]) - 1);
+  }
+  g->n_oob = oob;
+  return g;
+}
+
+void raftio_free_grouped(RaftGroupedEv* g) { delete g; }
+int64_t rge_n(RaftGroupedEv* g) {
+  return static_cast<int64_t>(g->w0.size());
+}
+const int64_t* rge_off(RaftGroupedEv* g) { return g->off.data(); }
+const int32_t* rge_w0(RaftGroupedEv* g) { return g->w0.data(); }
+const int32_t* rge_w1(RaftGroupedEv* g) { return g->w1.data(); }
+int64_t rge_n_unknown(RaftGroupedEv* g) { return g->n_unknown; }
+int64_t rge_n_oob(RaftGroupedEv* g) { return g->n_oob; }
+
 void raftio_free_paf(RaftPaf* pf) { delete pf; }
 int64_t rp_n_rows(RaftPaf* pf) { return static_cast<int64_t>(pf->a_id.size()); }
 int rp_symmetric(RaftPaf* pf) { return pf->symmetric; }

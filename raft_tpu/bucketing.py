@@ -86,7 +86,8 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  ev_hi: np.ndarray, reso: int,
                  min_w: int = 64, max_rows: int = 4096,
                  row_quantum: int = 8, min_rows: int = 256,
-                 max_cells: int = 1 << 23, presorted: bool = False):
+                 max_cells: int = 1 << 23, presorted: bool = False,
+                 prebinned=None):
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
     pure vectorized numpy. A generator: the engine stages/dispatches each
@@ -102,6 +103,11 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     e.g. megabase ONT reads) take proportionally fewer rows per dispatch
     so device arrays stay ~``4*max_cells`` bytes regardless of read
     length distribution.
+
+    ``prebinned``: ``(bounds [n+1] int64, w0_all [m] int32,
+    w1_all [m] int32)`` — events already read-grouped and window-binned
+    (the native counting-sort path); skips the sort/searchsorted/binning
+    entirely, and ``ev_read/ev_lo/ev_hi`` are ignored (pass None).
     """
     n = len(lens)
     nw = -(-lens.astype(np.int64) // reso)  # ceil; len 0 → 0 windows
@@ -117,21 +123,25 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
             w_bucket[w_bucket == keys[ki]] = keys[ki + 1]
     keys = np.unique(w_bucket)
 
-    # order events by read for slicing
-    if presorted:  # caller already sorted read-major (e.g. compute_jax)
-        ev_read_s, ev_lo_s, ev_hi_s = ev_read, ev_lo, ev_hi
+    if prebinned is not None:
+        bounds, w0_all, w1_all = prebinned
+        ev_counts = np.diff(bounds)
     else:
-        order = np.argsort(ev_read, kind="stable")
-        ev_read_s = ev_read[order]
-        ev_lo_s = ev_lo[order]
-        ev_hi_s = ev_hi[order]
-    bounds = np.searchsorted(ev_read_s, np.arange(n + 1))
-    ev_counts = np.diff(bounds)
+        # order events by read for slicing
+        if presorted:  # caller already sorted read-major (e.g. compute_jax)
+            ev_read_s, ev_lo_s, ev_hi_s = ev_read, ev_lo, ev_hi
+        else:
+            order = np.argsort(ev_read, kind="stable")
+            ev_read_s = ev_read[order]
+            ev_lo_s = ev_lo[order]
+            ev_hi_s = ev_hi[order]
+        bounds = np.searchsorted(ev_read_s, np.arange(n + 1))
+        ev_counts = np.diff(bounds)
 
-    # pre-bin events to window indices once, globally (vectorized)
-    w0_all = ev_lo_s.astype(np.int32) // reso
-    w1_all = np.where(ev_hi_s < 0, -1,
-                      ev_hi_s.astype(np.int64) // reso).astype(np.int32)
+        # pre-bin events to window indices once, globally (vectorized)
+        w0_all = ev_lo_s.astype(np.int32) // reso
+        w1_all = np.where(ev_hi_s < 0, -1,
+                          ev_hi_s.astype(np.int64) // reso).astype(np.int32)
 
     for key in keys:
         rids_all = np.nonzero(w_bucket == key)[0]

@@ -377,20 +377,45 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     overlap coverage emission with the device stage."""
     from raft_tpu.result import ComputeResult
 
+    import time as _time
+    _timers: dict = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t0
+        t = _time.perf_counter()
+        _timers[name] = _timers.get(name, 0.0) + (t - _t0)
+        _t0 = t
+
     n = store.n_reads
     lens = store.lens.astype(np.int32)
-    ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
-    if strict:
-        _validate_events(lens, ev_read, ev_lo, ev_hi, params.reso)
-
-    # sort events read-major once; bucketing and the event-backed
-    # coverage emission both consume the sorted layout
-    order = np.argsort(ev_read, kind="stable")
-    ev_read = ev_read[order]
-    ev_lo = ev_lo[order]
-    ev_hi = ev_hi[order]
-
     reso = params.reso
+
+    # Fast path: the native counting-sort pass delivers events already
+    # read-grouped and window-binned (one C++ scan over the PAF columns),
+    # replacing events() + argsort + searchsorted + binning.
+    grouped = None
+    eg = getattr(table, "events_grouped", None)
+    if eg is not None:
+        grouped = eg(n, lens, reso, strict=strict)
+    if grouped is not None:
+        g_off, g_w0, g_w1 = grouped
+        ev_read = ev_lo = ev_hi = None
+        _mark("events")
+    else:
+        g_off = g_w0 = g_w1 = None
+        ev_read, ev_lo, ev_hi = table.events(n, strict=strict)
+        if strict:
+            _validate_events(lens, ev_read, ev_lo, ev_hi, params.reso)
+        _mark("events")
+        # sort events read-major once; bucketing and the event-backed
+        # coverage emission both consume the sorted layout
+        order = np.argsort(ev_read, kind="stable")
+        ev_read = ev_read[order]
+        ev_lo = ev_lo[order]
+        ev_hi = ev_hi[order]
+        _mark("sort")
+
     nw_all = (-(-lens.astype(np.int64) // reso))
     cov_off = _cumsum0(nw_all)
     mode = cov_out or default_cov_out()
@@ -400,13 +425,17 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         # Event-backed coverage: the emitter renders .coverage.txt
         # straight from the window-binned events (the coverage matrix
         # never leaves the device). All of it is known NOW.
-        w0s = (ev_lo.astype(np.int64) // reso).astype(np.int32)
-        w1s = np.where(ev_hi < 0, -1,
-                       ev_hi.astype(np.int64) // reso).astype(np.int32)
-        ev_off_g = np.searchsorted(ev_read, np.arange(n + 1)).astype(
-            np.int64)
+        if grouped is not None:
+            ev_off_g, w0s, w1s = g_off, g_w0, g_w1
+            nwr = np.repeat(nw_all, np.diff(ev_off_g))
+        else:
+            w0s = (ev_lo.astype(np.int64) // reso).astype(np.int32)
+            w1s = np.where(ev_hi < 0, -1,
+                           ev_hi.astype(np.int64) // reso).astype(np.int32)
+            ev_off_g = np.searchsorted(ev_read, np.arange(n + 1)).astype(
+                np.int64)
+            nwr = nw_all[ev_read]
         # closed-form Σcov with the renderer's exact clamp semantics
-        nwr = nw_all[ev_read]
         valid = (w1s >= w0s) & (w0s >= 0) & (w0s < nwr)
         total_cov = int(np.where(
             valid,
@@ -445,9 +474,11 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     workers = max(1, int(os.environ.get("RAFT_COMPILE_WORKERS", "2")))
     prepared = []
     compiles: dict = {}
+    prebinned = (g_off, g_w0, g_w1) if grouped is not None else None
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
-                                         params.reso, presorted=True):
+                                         params.reso, presorted=True,
+                                         prebinned=prebinned):
             if n_shards > 1:
                 bk = shard_bucket(bk, n_shards)
             # cfg describes PER-SHARD shapes under shard_map
@@ -460,12 +491,14 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 compiles[key] = pool.submit(
                     lambda c=cfg, a=args: step.lower(*a, cfg=c).compile())
             prepared.append((bk, cfg, args, key))
+        _mark("bucket_prep")
 
         outs = []
         for bk, cfg, args, key in prepared:
             compiles[key].result()  # jit cache shared → dispatch is cheap
             out = step(*args, cfg=cfg)
             outs.append((bk, cfg, args, out))
+        _mark("dispatch")
 
     # fetch in a worker thread so D2H transfers and the host-side coverage
     # rebuild overlap the integration of the previous bucket
@@ -490,6 +523,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 out["cov"] = cov
             fetched.append((bk, out))
     outs = fetched
+    _mark("fetch")
 
     # global offsets in read-id order
     rep_n_all = np.zeros(n, dtype=np.int64)
@@ -534,6 +568,11 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         frag_read[d_idx] = np.repeat(rid, cnt)
         frag_wh[d_idx] = np.repeat(out["whole"][:nu], cnt)
 
+    _mark("integrate")
+    if os.environ.get("RAFT_TIMERS"):
+        import sys as _sys
+        print("compute_jax timers: " + ", ".join(
+            f"{k}={v:.3f}s" for k, v in _timers.items()), file=_sys.stderr)
     return ComputeResult(
         n_reads=n,
         cov_flat=cov_flat, cov_off=cov_off,

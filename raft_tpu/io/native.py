@@ -107,6 +107,17 @@ def _configure(lib):
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.raftio_group_events.restype = C.c_void_p
+    lib.raftio_group_events.argtypes = [
+        i32p, i32p, i32p, i32p, i32p, i32p,   # six PAF columns
+        C.c_int64, C.c_int,                    # n_rows, symmetric
+        C.c_int64, i64p, C.c_int32]            # n_reads, lens, reso
+    lib.raftio_free_grouped.argtypes = [C.c_void_p]
+    for nm, rt in (("rge_n", C.c_int64), ("rge_off", P(C.c_int64)),
+                   ("rge_w0", P(C.c_int32)), ("rge_w1", P(C.c_int32)),
+                   ("rge_n_unknown", C.c_int64), ("rge_n_oob", C.c_int64)):
+        getattr(lib, nm).restype = rt
+        getattr(lib, nm).argtypes = [C.c_void_p]
     lib.raftio_emit_frags_full.restype = C.c_int
     lib.raftio_emit_frags_full.argtypes = [
         C.c_char_p,              # path
@@ -235,6 +246,37 @@ def load_paf(path: str, store):
 
 def emit_available() -> bool:
     return _get_lib() is not None
+
+
+def group_events(table, n_reads: int, lens: np.ndarray, reso: int):
+    """Read-grouped, window-binned coverage events from an OverlapTable's
+    columns in one native counting-sort pass (replaces events() +
+    argsort + binning on the hot path). Returns
+    (ev_off int64 [n+1], w0 int32 [m], w1 int32 [m], n_unknown, n_oob)
+    or None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    cols = [np.ascontiguousarray(c, dtype=np.int32)
+            for c in (table.a_id, table.b_id, table.a_start, table.a_end,
+                      table.b_start, table.b_end)]
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    ptr = lib.raftio_group_events(
+        *cols, int(len(cols[0])), int(table.symmetric),
+        int(n_reads), lens64, int(reso))
+    if not ptr:
+        return None
+    try:
+        m = int(lib.rge_n(ptr))
+        # copies: the views must not outlive the C allocation (the result
+        # arrays travel in ComputeResult past this scope)
+        off = _as_array(lib.rge_off(ptr), n_reads + 1, np.int64).copy()
+        w0 = _as_array(lib.rge_w0(ptr), m, np.int32).copy()
+        w1 = _as_array(lib.rge_w1(ptr), m, np.int32).copy()
+        return (off, w0, w1, int(lib.rge_n_unknown(ptr)),
+                int(lib.rge_n_oob(ptr)))
+    finally:
+        lib.raftio_free_grouped(ptr)
 
 
 class PafBins:

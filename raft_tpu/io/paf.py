@@ -80,6 +80,33 @@ class OverlapTable:
                 np.concatenate(ev_lo).astype(np.int32),
                 np.concatenate(ev_hi).astype(np.int32))
 
+    def events_grouped(self, n_reads: int, lens: np.ndarray, reso: int,
+                       strict: bool = True):
+        """Read-grouped window-binned events via the native counting-sort
+        pass: (ev_off [n+1] int64, w0 [m] int32, w1 [m] int32). Replaces
+        events() + argsort + binning on the hot path — same event rules,
+        same strict-mode errors. Returns None when the native library is
+        unavailable (callers fall back to the sort path)."""
+        try:
+            from raft_tpu.io import native
+            g = native.group_events(self, n_reads, lens, reso)
+        except Exception:
+            return None
+        if g is None:
+            return None
+        off, w0, w1, n_unknown, n_oob = g
+        if strict and n_unknown:
+            raise ValueError(
+                f"PAF names {n_unknown} read(s) absent from the input "
+                "FASTA (undefined behavior in reference RAFT); "
+                "pass strict=False to drop them")
+        if strict and n_oob:
+            raise ValueError(
+                "overlap interval exceeds read bounds (reference RAFT has "
+                "an unchecked buffer overrun here, repeat.hpp:69-73); "
+                "fix the PAF or run with --no-strict")
+        return off, w0, w1
+
 
 def load_paf(path: str, store: ReadStore,
              use_native: bool | None = None) -> OverlapTable:
