@@ -7,8 +7,12 @@ chop → emit. The compute stages run on one of two engines:
 * ``jax``   — the TPU-native device pipeline (bucketed ``[B, W]`` tensors,
               see ``raft_tpu/engine_jax.py``); the default.
 * ``oracle``— per-read numpy with reference-exact scalar semantics
-              (``raft_tpu/ops/oracle.py``); used for testing and as a
-              spill path.
+              (``raft_tpu/ops/oracle.py``); used for testing. There is
+              deliberately NO spill path: the device slot counts (K
+              repeat slots, M markers, F fragments) are closed-form
+              bounds derived from W and the params (engine_jax.derive_cfg)
+              that no input can exceed — asserted by
+              tests/test_kernels.py::test_closed_form_slot_bounds.
 
 Both produce identical results; the test suite enforces byte parity of all
 four output files against the compiled reference binary.

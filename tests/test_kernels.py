@@ -137,6 +137,56 @@ def test_chop_matches_oracle(seed, il, l, ov):
                 assert int(out["char_len"][r, f]) == wf.char_len
 
 
+@pytest.mark.parametrize("reso,rl,il,l", [
+    (50, 10000, 10000, 20000),   # defaults
+    (50, 50, 50, 100),           # min_run = 1: densest possible runs
+    (1, 1, 1, 2),                # pathological tiny params
+    (50, 200, 500, 4000),        # small repeats, many markers
+    (100, 150, 1000, 1500),      # rl not a multiple of reso
+])
+@pytest.mark.parametrize("seed", range(3))
+def test_closed_form_slot_bounds(reso, rl, il, l, seed):
+    """The device slot counts K (repeat intervals), M (markers) and F
+    (fragments) are closed-form bounds derived from W and the params —
+    there is deliberately NO spill path (CLAUDE.md invariant). Verify
+    with adversarial inputs that the oracle's true per-read counts can
+    never exceed them: alternating minimal-run coverage maximizes repeat
+    intervals, and a zero-repeat max-length read maximizes markers and
+    fragments."""
+    rng = np.random.default_rng(300 + seed)
+    params = AlgoParams(est_cov=4, cov_mul=1.0, reso=reso, repeat_length=rl,
+                        interval_length=il, read_length=l,
+                        flanking_length=0, overlap_length=0)
+    for W in (8, 64, 256):
+        cfg = derive_cfg(8, W, 64, params)
+        L = W * reso  # maximal read length for this bucket
+        # (a) repeat-interval count: adversarial alternating pattern of
+        # minimal qualifying runs separated by single low windows
+        min_run = max(1, -(-rl // reso))
+        cov = np.zeros(W, dtype=np.int32)
+        j = 0
+        while j + min_run <= W:
+            cov[j:j + min_run] = params.high_cov
+            j += min_run + 1
+        want = oracle.repeats_one_read(cov, L, reso, params.high_cov, rl, 0)
+        assert len(want.intervals) <= cfg.K
+        # (b) randomized coverage also respects K
+        covr = rng.integers(0, 2 * max(params.high_cov, 1), W).astype(
+            np.int32)
+        wr = oracle.repeats_one_read(covr, L, reso, params.high_cov, rl, 0)
+        assert len(wr.intervals) <= cfg.K
+        # (c) markers and fragments at max length with no repeats
+        stars = oracle.markers_one_read(L, il)
+        assert len(stars) <= cfg.M
+        frags = oracle.chop_one_read(L, stars, l, il, 0)
+        assert len(frags) <= cfg.F
+        # (d) markers/fragments at a non-multiple length (extra end marker)
+        L2 = max(1, L - reso // 2 - 1)
+        stars2 = oracle.markers_one_read(L2, il)
+        assert len(stars2) <= cfg.M
+        assert len(oracle.chop_one_read(L2, stars2, l, il, 0)) <= cfg.F
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_rows_from_offsets_matches_ev_row(seed):
     """Device-side row reconstruction from the [B+1] offset table must
