@@ -686,6 +686,7 @@ const char* rf_name_blob(RaftFasta* fa) { return fa->name_blob.data(); }
 int64_t rf_name_blob_size(RaftFasta* fa) {
   return static_cast<int64_t>(fa->name_blob.size());
 }
+const int64_t* rf_name_off(RaftFasta* fa) { return fa->name_off.data(); }
 const char* rf_seq_blob(RaftFasta* fa) { return fa->seq_blob.data(); }
 const int64_t* rf_seq_off(RaftFasta* fa) { return fa->seq_off.data(); }
 
@@ -1765,6 +1766,74 @@ int emit_sharded(const char* path, int64_t n_items, int append,
 }
 }  // namespace
 
+// Simulated-read metadata parsed out of every name in one native pass
+// (python-contract semantics of chop.hpp:25-70: find-based substring
+// scans + atoi; the reference's hidden 15-char buffer is UB we do not
+// reproduce). Blobs are contiguous with [n+1] offsets so the emitters
+// consume them directly.
+struct RaftSimMeta {
+  std::vector<int64_t> start_pos, end_pos;
+  std::vector<uint8_t> align_code;  // 0=forward 1=reverse 2=other
+  std::vector<char> align_blob, suffix_blob, chrom_blob;
+  std::vector<int64_t> align_off, suffix_off, chrom_off;
+};
+
+extern "C" {
+
+// Parse n names (NUL-terminated, name i at name_blob+name_off[i]).
+// Returns nullptr when any name lacks a required delimiter — the caller
+// falls back to the per-name python parse for exact degenerate-input
+// semantics (str.find with -1 positions etc.).
+RaftSimMeta* raftio_sim_meta(const char* name_blob, const int64_t* name_off,
+                             int64_t n) {
+  auto* m = new RaftSimMeta();
+  m->start_pos.resize(static_cast<size_t>(n));
+  m->end_pos.resize(static_cast<size_t>(n));
+  m->align_code.resize(static_cast<size_t>(n));
+  m->align_off.resize(static_cast<size_t>(n) + 1, 0);
+  m->suffix_off.resize(static_cast<size_t>(n) + 1, 0);
+  m->chrom_off.resize(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; i++) {
+    const char* nm = name_blob + name_off[i];
+    const char* nm_end = name_blob + name_off[i + 1] - 1;  // the NUL
+    const char* c0 = strchr(nm, ',');            // first comma
+    const char* eq = c0 ? strchr(c0, '=') : nullptr;   // '=' from c0
+    const char* d0 = strchr(nm, '-');            // first dash anywhere
+    const char* c1 = c0 ? strchr(c0 + 1, ',') : nullptr;  // second comma
+    const char* cr = c0 ? strrchr(nm, ',') : nullptr;     // last comma
+    if (!c0 || !eq || !d0 || !c1 || !cr) {
+      delete m;
+      return nullptr;
+    }
+    m->start_pos[i] = atoll(eq + 1);
+    m->end_pos[i] = atoll(d0 + 1);
+    size_t al = static_cast<size_t>(c1 - (c0 + 1));
+    m->align_code[i] =
+        (al == 7 && memcmp(c0 + 1, "forward", 7) == 0) ? 0
+        : (al == 7 && memcmp(c0 + 1, "reverse", 7) == 0) ? 1 : 2;
+    m->align_blob.insert(m->align_blob.end(), c0 + 1, c1);
+    m->align_off[i + 1] = static_cast<int64_t>(m->align_blob.size());
+    m->suffix_blob.insert(m->suffix_blob.end(), cr, nm_end);
+    m->suffix_off[i + 1] = static_cast<int64_t>(m->suffix_blob.size());
+    m->chrom_blob.insert(m->chrom_blob.end(), cr + 1, nm_end);
+    m->chrom_off[i + 1] = static_cast<int64_t>(m->chrom_blob.size());
+  }
+  return m;
+}
+
+void raftio_free_sim_meta(RaftSimMeta* m) { delete m; }
+const int64_t* rsm_start(RaftSimMeta* m) { return m->start_pos.data(); }
+const int64_t* rsm_end(RaftSimMeta* m) { return m->end_pos.data(); }
+const uint8_t* rsm_align_code(RaftSimMeta* m) { return m->align_code.data(); }
+const char* rsm_align_blob(RaftSimMeta* m) { return m->align_blob.data(); }
+const int64_t* rsm_align_off(RaftSimMeta* m) { return m->align_off.data(); }
+const char* rsm_suffix_blob(RaftSimMeta* m) { return m->suffix_blob.data(); }
+const int64_t* rsm_suffix_off(RaftSimMeta* m) { return m->suffix_off.data(); }
+const char* rsm_chrom_blob(RaftSimMeta* m) { return m->chrom_blob.data(); }
+const int64_t* rsm_chrom_off(RaftSimMeta* m) { return m->chrom_off.data(); }
+
+}  // extern "C"
+
 extern "C" {
 
 // Fragment FASTA: headers are pre-rendered by the caller (hdr_blob with
@@ -1922,6 +1991,42 @@ int raftio_emit_coverage_events(const char* path, const int32_t* w0,
       wstart += reso;
     }
     w.putc('\n');
+  }
+  };
+  return emit_sharded(path, n_reads, append, render, gz);
+}
+
+// long_repeats.bed (repeat.hpp:187-199, simulated mode): per interval
+// "{chrom}\t{start}\t{end}\n" in genome coordinates; forward reads map
+// [s,e] to [sp+s, sp+e], reverse reads flip to [ep-e, ep-s]; reads whose
+// alignment is neither are skipped. Real-reads mode is handled by the
+// caller (file created empty, n_reads == 0 here).
+int raftio_emit_bed(const char* path, const int32_t* rep_s,
+                    const int32_t* rep_e, const int64_t* rep_off,
+                    int64_t n_reads, const uint8_t* align_code,
+                    const int64_t* start_pos, const int64_t* end_pos,
+                    const char* chrom_blob, const int64_t* chrom_off,
+                    int append, int gz) {
+  auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
+  for (int64_t i = ilo; i < ihi; i++) {
+    uint8_t ac = align_code[i];
+    if (ac > 1) continue;
+    int64_t cb = chrom_off[i];
+    size_t cn = static_cast<size_t>(chrom_off[i + 1] - cb);
+    for (int64_t j = rep_off[i]; j < rep_off[i + 1]; j++) {
+      w.put(chrom_blob + cb, cn);
+      w.putc('\t');
+      if (ac == 0) {
+        w.putint(start_pos[i] + rep_s[j]);
+        w.putc('\t');
+        w.putint(start_pos[i] + rep_e[j]);
+      } else {
+        w.putint(end_pos[i] - rep_e[j]);
+        w.putc('\t');
+        w.putint(end_pos[i] - rep_s[j]);
+      }
+      w.putc('\n');
+    }
   }
   };
   return emit_sharded(path, n_reads, append, render, gz);

@@ -79,10 +79,15 @@ def write_long_repeats(path: str, res: ComputeResult,
 
 def write_long_repeats_bed(path: str, store: ReadStore,
                            res: ComputeResult,
+                           use_native: bool = True,
                            append: bool = False, gz: bool = False) -> None:
     """Simulated mode only: genome-coordinate BED with reverse-strand flip
     (``repeat.hpp:187-199``). In real-reads mode the reference still
     creates the file but never writes to it."""
+    from raft_tpu.io import native
+    if use_native and native.emit_bed(path, store, res, append, gz):
+        return
+    store.ensure_sim_lists()
     with _open_text(path, append, gz) as f:
         if store.real_reads:
             return
@@ -142,6 +147,7 @@ def write_fragments_fasta(path: str, store: ReadStore, params: AlgoParams,
                                              first_read_num, append, gz):
         return res.n_frags
 
+    store.ensure_sim_lists()  # python header rendering needs the lists
     blob = store.seq_blob
     off = store.seq_off
     if gz:

@@ -103,6 +103,16 @@ class ReadStore:
     def seq(self, i: int) -> bytes:
         return self.seq_blob[self.seq_off[i]:self.seq_off[i + 1]]
 
+    def ensure_sim_lists(self) -> None:
+        """Materialize the per-read ``align``/``chrom`` python lists from
+        the names. The native load path leaves them None (it parses sim
+        metadata in C and caches blob tables instead); only python
+        fallback emitters need the list form."""
+        if self.real_reads or self.align is not None:
+            return
+        self.align = [parse_sim_align(nm) for nm in self.names]
+        self.chrom = [parse_sim_chr(nm) for nm in self.names]
+
 
 def _open_maybe_gz(path: str):
     with open(path, "rb") as f:

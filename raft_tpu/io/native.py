@@ -141,6 +141,24 @@ def _configure(lib):
     lib.raftio_emit_repeats.argtypes = [
         C.c_char_p, i32p, i32p, i64p, C.c_int64, C.c_int64, C.c_int,
         C.c_int]
+    lib.raftio_emit_bed.restype = C.c_int
+    lib.raftio_emit_bed.argtypes = [
+        C.c_char_p, i32p, i32p, i64p, C.c_int64,
+        C.c_void_p, C.c_void_p, C.c_void_p,   # align_code, start, end
+        C.c_void_p, C.c_void_p,               # chrom blob + off
+        C.c_int, C.c_int]
+
+    lib.rf_name_off.restype = P(C.c_int64)
+    lib.rf_name_off.argtypes = [C.c_void_p]
+    lib.raftio_sim_meta.restype = C.c_void_p
+    lib.raftio_sim_meta.argtypes = [C.c_void_p, C.c_void_p, C.c_int64]
+    lib.raftio_free_sim_meta.argtypes = [C.c_void_p]
+    for nm in ("rsm_start", "rsm_end", "rsm_align_code", "rsm_align_blob",
+               "rsm_align_off", "rsm_suffix_blob", "rsm_suffix_off",
+               "rsm_chrom_blob", "rsm_chrom_off"):
+        fn = getattr(lib, nm)
+        fn.restype = C.c_void_p
+        fn.argtypes = [C.c_void_p]
 
 
 class _FastaHandle:
@@ -165,6 +183,66 @@ class _PafHandle:
         if self._ptr:
             self._lib.raftio_free_paf(self._ptr)
             self._ptr = None
+
+
+def attach_sim_meta(store) -> bool:
+    """Parse simulated-read metadata in one native pass over the name blob
+    (chop.hpp:25-70 contract) and cache it on the store: sets
+    ``start_pos``/``end_pos`` (if not already set) and the contiguous
+    align/suffix/chrom blob tables the native emitters consume.
+    ``store.align``/``store.chrom`` stay None — python fallbacks
+    materialize them lazily via ``ReadStore.ensure_sim_lists``. Returns
+    False (caller uses the per-name python parse) when the library is
+    missing or a name lacks the expected delimiters."""
+    if getattr(store, "_sim_native", None) is not None:
+        return True
+    lib = _get_lib()
+    if lib is None:
+        return False
+    n = store.n_reads
+    h = getattr(store, "_native_handle", None)
+    if h is not None and h._ptr is not None:
+        nb_ptr = lib.rf_name_blob(h._ptr)
+        no_ptr = lib.rf_name_off(h._ptr)
+        keep = None
+    else:
+        blob, off = _name_blob0(store)
+        keep = (blob, off)  # pin until the C call returns
+        nb_ptr = C.cast(C.c_char_p(blob), C.c_void_p)
+        no_ptr = off.ctypes.data
+    ptr = lib.raftio_sim_meta(nb_ptr, no_ptr, n)
+    del keep
+    if not ptr:
+        return False
+    try:
+        def _i64(fn, m):
+            return _as_array(fn(ptr), m, np.int64).copy()
+
+        align_off = _i64(lib.rsm_align_off, n + 1)
+        suffix_off = _i64(lib.rsm_suffix_off, n + 1)
+        chrom_off = _i64(lib.rsm_chrom_off, n + 1)
+
+        def _blob(fn, size):
+            return C.string_at(fn(ptr), size) if size else b""
+
+        meta = {
+            "start": _i64(lib.rsm_start, n),
+            "end": _i64(lib.rsm_end, n),
+            "align_code": _as_array(lib.rsm_align_code(ptr), n,
+                                    np.uint8).copy(),
+            "align_off": align_off, "suffix_off": suffix_off,
+            "chrom_off": chrom_off,
+            "align_blob": _blob(lib.rsm_align_blob, int(align_off[-1])),
+            "suffix_blob": _blob(lib.rsm_suffix_blob, int(suffix_off[-1])),
+            "chrom_blob": _blob(lib.rsm_chrom_blob, int(chrom_off[-1])),
+        }
+    finally:
+        lib.raftio_free_sim_meta(ptr)
+    if getattr(store, "start_pos", None) is None:
+        store.start_pos = meta["start"]
+        store.end_pos = meta["end"]
+    store._sim_native = meta
+    return True
 
 
 def _as_array(ptr, n, dtype):
@@ -207,7 +285,7 @@ def load_reads(path: str):
     store = ReadStore(names=names, seq_blob=seq_blob, seq_off=seq_off,
                       lens=lens, real_reads=real, name_to_id={})
     store._native_handle = h  # keep C store alive with the store
-    if not real:
+    if not real and not attach_sim_meta(store):
         store.start_pos = np.asarray(
             [parse_sim_start_pos(nm) for nm in names], dtype=np.int64)
         store.end_pos = np.asarray(
@@ -490,10 +568,18 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
 
 def _sim_blobs(store):
     """Per-read align-text and header-suffix blobs for simulated mode
-    (cached on the store; Python loop is simulated-mode only)."""
+    (cached on the store; prefers the native one-pass parse, python loop
+    only as fallback for degenerate names)."""
     cached = getattr(store, "_sim_blobs", None)
     if cached is not None:
         return cached
+    if attach_sim_meta(store):
+        m = store._sim_native
+        out = (m["align_code"], m["align_blob"], m["align_off"],
+               m["suffix_blob"], m["suffix_off"])
+        store._sim_blobs = out
+        return out
+    store.ensure_sim_lists()
     n = store.n_reads
     align_code = np.empty(n, dtype=np.uint8)
     align_off = np.zeros(n + 1, dtype=np.int64)
@@ -512,6 +598,37 @@ def _sim_blobs(store):
            "".join(suffix_parts).encode("ascii"), suffix_off)
     store._sim_blobs = out
     return out
+
+
+def emit_bed(path: str, store, res, append: bool = False,
+             gz: bool = False) -> bool:
+    """Native ``.long_repeats.bed`` writer (repeat.hpp:187-199 format).
+    Real-reads mode creates/truncates the file and writes nothing,
+    matching the reference's unconditional ofstream open."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    ze = np.empty(0, dtype=np.int32)
+    if store.real_reads:
+        rc = lib.raftio_emit_bed(
+            path.encode(), ze, ze, np.zeros(1, dtype=np.int64), 0,
+            None, None, None, None, None, int(append), int(gz))
+        return rc == 0
+    if not attach_sim_meta(store):
+        return False
+    m = store._sim_native
+    start = np.ascontiguousarray(store.start_pos, dtype=np.int64)
+    end = np.ascontiguousarray(store.end_pos, dtype=np.int64)
+    rc = lib.raftio_emit_bed(
+        path.encode(),
+        np.ascontiguousarray(res.rep_s, dtype=np.int32),
+        np.ascontiguousarray(res.rep_e, dtype=np.int32),
+        np.ascontiguousarray(res.rep_off, dtype=np.int64),
+        res.n_reads,
+        m["align_code"].ctypes.data, start.ctypes.data, end.ctypes.data,
+        C.cast(C.c_char_p(m["chrom_blob"]), C.c_void_p),
+        m["chrom_off"].ctypes.data, int(append), int(gz))
+    return rc == 0
 
 
 def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,

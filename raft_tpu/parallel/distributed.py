@@ -158,8 +158,9 @@ def _slice_store(store, lo, hi):
     if not store.real_reads:
         sub.start_pos = store.start_pos[lo:hi]
         sub.end_pos = store.end_pos[lo:hi]
-        sub.align = store.align[lo:hi]
-        sub.chrom = store.chrom[lo:hi]
+        if store.align is not None:  # native path leaves these None —
+            sub.align = store.align[lo:hi]   # emitters re-derive from
+            sub.chrom = store.chrom[lo:hi]   # the sub-store's own names
     return sub
 
 

@@ -257,7 +257,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                           gz=gz_out),
                 ex.submit(emit.write_long_repeats_bed,
                           prefix + ".long_repeats.bed" + sfx, store, res,
-                          gz=gz_out),
+                          un, gz=gz_out),
                 ex.submit(emit.write_fragments_fasta,
                           prefix + ".reads.fasta" + sfx, store, params,
                           res, un, gz=gz_out),
@@ -362,7 +362,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
             store = native.load_reads_range(
                 read_path, int(rec_off[lo]), int(rec_off[hi]))
         store.real_reads = params.real_reads
-        if not params.real_reads:
+        if not params.real_reads and not native.attach_sim_meta(store):
+            # degenerate names: per-name python parse (exact contract)
             cn = names[lo:hi]
             store.start_pos = np.asarray(
                 [parse_sim_start_pos(nm) for nm in cn], dtype=np.int64)
