@@ -333,6 +333,13 @@ struct RaftFasta {
   int real_reads = 1;
   Interner interner;
   int64_t n = 0;
+  // Streaming over gz inputs: the index pass spills the decompressed
+  // bytes to this temp file (unlinked when the handle is freed); rec_off
+  // are offsets into it and chunk loads mmap it like a plain input.
+  std::string decomp_path;
+  bool has_fastq = false;  // any '@' record → range loads use the
+                           // sequential fastx parser, not the threaded
+                           // plain-FASTA one
 };
 
 namespace {
@@ -465,12 +472,10 @@ void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
 RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
                                      size_t range_lo, size_t range_hi);
 
-// Name + byte-offset index over the whole file (no sequence copies):
+// Name + byte-offset index over the whole buffer (no sequence copies):
 // the cheap first pass of the streaming (beyond-RAM) pipeline mode.
-RaftFasta* index_fasta_threaded(const Mapped& m) {
+RaftFasta* index_fasta_threaded(const char* p, const size_t n) {
   const int T = n_parse_threads();
-  const char* p = m.p;
-  const size_t n = m.n;
   std::vector<FaSizes> sizes(T);
   {
     std::vector<std::thread> threads;
@@ -581,6 +586,142 @@ RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
   return fa;
 }
 
+// Sequential fastx index over a buffer (kseq semantics: '>' or '@'
+// records, multi-line sequence, quality skipped by accumulated length).
+// Used when the file is not pure '>'-FASTA; O(bytes) memchr scan.
+void index_fastx_buf(const char* p, size_t n, RaftFasta* fa) {
+  fa->name_off.push_back(0);
+  bool in_fastq = false;
+  bool have_rec = false;
+  bool skipping_qual = false;
+  int64_t seq_len_cur = 0, qual_len = 0;
+  size_t i = 0;
+  while (i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t len = line_len(line, llen);
+    size_t next = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    if (skipping_qual) {
+      qual_len += static_cast<int64_t>(len);
+      if (qual_len >= seq_len_cur) skipping_qual = false;
+    } else if (len && (line[0] == '>' || line[0] == '@')) {
+      size_t b = 1;
+      while (b < len && isspace(static_cast<unsigned char>(line[b]))) b++;
+      size_t e = b;
+      while (e < len && !isspace(static_cast<unsigned char>(line[e]))) e++;
+      fa->rec_off.push_back(static_cast<int64_t>(i));
+      fa->name_blob.insert(fa->name_blob.end(), line + b, line + e);
+      fa->name_blob.push_back('\0');
+      fa->name_off.push_back(static_cast<int64_t>(fa->name_blob.size()));
+      fa->n++;
+      have_rec = true;
+      in_fastq = (line[0] == '@');
+      if (in_fastq) fa->has_fastq = true;
+      seq_len_cur = 0;
+    } else if (len && line[0] == '+' && in_fastq) {
+      qual_len = 0;
+      if (seq_len_cur > 0) skipping_qual = true;
+      have_rec = false;  // record complete (possibly empty sequence)
+    } else if (len && have_rec) {
+      seq_len_cur += static_cast<int64_t>(len);
+    }
+    i = next;
+  }
+  fa->rec_off.push_back(static_cast<int64_t>(n));
+  static const std::regex sim_re(
+      "^read=[0-9]+,[a-z]+,position=[0-9]+-[0-9]+,length=[0-9]+,(.*)");
+  for (int64_t r = 0; r < fa->n; r++) {
+    const char* nm = fa->name_blob.data() + fa->name_off[r];
+    size_t nmlen = static_cast<size_t>(
+        fa->name_off[r + 1] - fa->name_off[r] - 1);
+    if (r == 0 && std::regex_match(std::string(nm, nmlen), sim_re))
+      fa->real_reads = 0;
+    fa->interner.intern(nm, nmlen);
+  }
+}
+
+// Sequential fastx RANGE parse: records starting in [lo, hi) with kseq
+// semantics. Callers pass exact record boundaries from the index, so the
+// parse is self-contained (chunks are bounded; threading is unnecessary).
+RaftFasta* load_fastx_buf_range(const char* p, size_t n, size_t lo,
+                                size_t hi) {
+  auto* fa = new RaftFasta();
+  fa->name_off.push_back(0);
+  fa->seq_off.push_back(0);  // invariant: seq_off.size()==n means a
+                             // record is open; ==n+1 means closed
+  bool in_fastq = false;
+  bool have_rec = false;
+  bool skipping_qual = false;
+  int64_t seq_len_cur = 0, qual_len = 0;
+  auto close_rec = [&]() {
+    if (fa->seq_off.size() == static_cast<size_t>(fa->n))
+      fa->seq_off.push_back(static_cast<int64_t>(fa->seq_blob.size()));
+  };
+  size_t i = lo;
+  while (i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t len = line_len(line, llen);
+    size_t next = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    if (skipping_qual) {
+      qual_len += static_cast<int64_t>(len);
+      if (qual_len >= seq_len_cur) skipping_qual = false;
+    } else if (len && (line[0] == '>' || line[0] == '@')) {
+      if (i >= hi) break;  // next chunk's record
+      close_rec();
+      size_t b = 1;
+      while (b < len && isspace(static_cast<unsigned char>(line[b]))) b++;
+      size_t e = b;
+      while (e < len && !isspace(static_cast<unsigned char>(line[e]))) e++;
+      fa->name_blob.insert(fa->name_blob.end(), line + b, line + e);
+      fa->name_blob.push_back('\0');
+      fa->name_off.push_back(static_cast<int64_t>(fa->name_blob.size()));
+      fa->n++;
+      have_rec = true;
+      in_fastq = (line[0] == '@');
+      seq_len_cur = 0;
+    } else if (len && line[0] == '+' && in_fastq) {
+      qual_len = 0;
+      if (seq_len_cur > 0) skipping_qual = true;
+      have_rec = false;
+    } else if (len && have_rec) {
+      fa->seq_blob.insert(fa->seq_blob.end(), line, line + len);
+      seq_len_cur += static_cast<int64_t>(len);
+    }
+    i = next;
+  }
+  close_rec();
+  return fa;
+}
+
+// Spill a decompressed buffer to a temp file (RAFT_TMPDIR > TMPDIR >
+// /tmp); the index handle owns it and unlinks it on free.
+bool write_temp_decomp(const std::vector<char>& buf, std::string* out) {
+  const char* dir = getenv("RAFT_TMPDIR");
+  if (!dir || !*dir) dir = getenv("TMPDIR");
+  if (!dir || !*dir) dir = "/tmp";
+  std::string tmpl = std::string(dir) + "/raft_decomp_XXXXXX";
+  std::vector<char> t(tmpl.begin(), tmpl.end());
+  t.push_back('\0');
+  int fd = mkstemp(t.data());
+  if (fd < 0) return false;
+  size_t done = 0;
+  while (done < buf.size()) {
+    ssize_t w = write(fd, buf.data() + done, buf.size() - done);
+    if (w <= 0) {
+      close(fd);
+      unlink(t.data());
+      return false;
+    }
+    done += static_cast<size_t>(w);
+  }
+  close(fd);
+  out->assign(t.data());
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -665,8 +806,38 @@ RaftFasta* raftio_index_fasta(const char* path) {
   Mapped m;
   if (!map_file(path, &m)) return nullptr;
   if (!m.n || m.p[0] != '>') return nullptr;  // plain FASTA only
-  return index_fasta_threaded(m);
+  return index_fasta_threaded(m.p, m.n);
 }
+
+// Index ANY supported input for streaming: plain FASTA (threaded index),
+// FASTQ or mixed fastx (sequential kseq-semantics scan), and gz of either
+// (decompressed once to a temp file the handle owns — rec_off then index
+// that file, so chunk loads stay byte-range mmap reads). Mixed files
+// STARTING with '>' take the threaded pure-FASTA path (same assumption
+// as raftio_load_fasta's fast path).
+RaftFasta* raftio_index_fastx(const char* path) {
+  Source src;
+  if (!open_source(path, &src) || !src.n) return nullptr;
+  const bool was_gz = !src.buf.empty();
+  std::string decomp;
+  if (was_gz && !write_temp_decomp(src.buf, &decomp)) return nullptr;
+  RaftFasta* fa = nullptr;
+  if (src.p[0] == '>') {
+    fa = index_fasta_threaded(src.p, src.n);
+  } else if (src.p[0] == '@') {
+    fa = new RaftFasta();
+    index_fastx_buf(src.p, src.n, fa);
+  }
+  if (!fa) {
+    if (!decomp.empty()) unlink(decomp.c_str());
+    return nullptr;
+  }
+  fa->decomp_path = decomp;
+  return fa;
+}
+
+const char* rf_decomp_path(RaftFasta* fa) { return fa->decomp_path.c_str(); }
+int rf_has_fastq(RaftFasta* fa) { return fa->has_fastq ? 1 : 0; }
 
 RaftFasta* raftio_load_fasta_range(const char* path, int64_t lo,
                                    int64_t hi) {
@@ -677,9 +848,27 @@ RaftFasta* raftio_load_fasta_range(const char* path, int64_t lo,
                                    static_cast<size_t>(hi));
 }
 
+// Byte-range load with fastx (FASTQ/mixed) record support; `fastq` != 0
+// routes to the sequential kseq-semantics parser (range boundaries come
+// from the index, so the parse needs no record-start guessing).
+RaftFasta* raftio_load_fastx_range(const char* path, int64_t lo,
+                                   int64_t hi, int fastq) {
+  Mapped m;
+  if (!map_file(path, &m)) return nullptr;
+  if (static_cast<size_t>(hi) > m.n || lo < 0 || lo >= hi) return nullptr;
+  if (!fastq)
+    return load_fasta_threaded_range(m.p, m.n, static_cast<size_t>(lo),
+                                     static_cast<size_t>(hi));
+  return load_fastx_buf_range(m.p, m.n, static_cast<size_t>(lo),
+                              static_cast<size_t>(hi));
+}
+
 const int64_t* rf_rec_off(RaftFasta* fa) { return fa->rec_off.data(); }
 
-void raftio_free_fasta(RaftFasta* fa) { delete fa; }
+void raftio_free_fasta(RaftFasta* fa) {
+  if (fa && !fa->decomp_path.empty()) unlink(fa->decomp_path.c_str());
+  delete fa;
+}
 int64_t rf_n_reads(RaftFasta* fa) { return fa->n; }
 int rf_real_reads(RaftFasta* fa) { return fa->real_reads; }
 const char* rf_name_blob(RaftFasta* fa) { return fa->name_blob.data(); }

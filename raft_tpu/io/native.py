@@ -68,8 +68,17 @@ def _configure(lib):
     lib.rf_seq_off.argtypes = [C.c_void_p]
     lib.raftio_index_fasta.restype = C.c_void_p
     lib.raftio_index_fasta.argtypes = [C.c_char_p]
+    lib.raftio_index_fastx.restype = C.c_void_p
+    lib.raftio_index_fastx.argtypes = [C.c_char_p]
+    lib.rf_decomp_path.restype = C.c_char_p
+    lib.rf_decomp_path.argtypes = [C.c_void_p]
+    lib.rf_has_fastq.restype = C.c_int
+    lib.rf_has_fastq.argtypes = [C.c_void_p]
     lib.raftio_load_fasta_range.restype = C.c_void_p
     lib.raftio_load_fasta_range.argtypes = [C.c_char_p, C.c_int64, C.c_int64]
+    lib.raftio_load_fastx_range.restype = C.c_void_p
+    lib.raftio_load_fastx_range.argtypes = [C.c_char_p, C.c_int64,
+                                            C.c_int64, C.c_int]
     lib.rf_rec_off.restype = P(C.c_int64)
     lib.rf_rec_off.argtypes = [C.c_void_p]
 
@@ -453,13 +462,16 @@ def bin_paf_events(path: str, store, n_reads: int, chunk: int,
 
 
 def index_reads(path: str):
-    """Name + byte-offset index over a plain FASTA (no sequence copies):
-    first pass of the streaming pipeline. Returns None when unavailable
-    (gz/FASTQ inputs use the non-streaming path)."""
+    """Name + byte-offset index over any supported input (plain FASTA,
+    FASTQ, gz of either): first pass of the streaming pipeline. For gz
+    inputs the decompressed bytes spill to a temp file the handle owns;
+    ``data_path`` is where ``load_reads_range`` must read chunk byte
+    ranges from (the temp file for gz, the input itself otherwise).
+    Returns None when the native layer is unavailable."""
     lib = _get_lib()
     if lib is None:
         return None
-    ptr = lib.raftio_index_fasta(path.encode())
+    ptr = lib.raftio_index_fastx(path.encode())
     if not ptr:
         return None
     h = _FastaHandle(lib, ptr)
@@ -469,17 +481,25 @@ def index_reads(path: str):
     names = (name_blob[:-1].decode("ascii", errors="replace").split("\0")
              if n else [])
     rec_off = _as_array(lib.rf_rec_off(ptr), n + 1, np.int64).copy()
+    decomp = lib.rf_decomp_path(ptr)
+    decomp = decomp.decode() if decomp else ""
     return {"handle": h, "n": n, "names": names, "rec_off": rec_off,
-            "real_reads": bool(lib.rf_real_reads(ptr))}
+            "real_reads": bool(lib.rf_real_reads(ptr)),
+            "data_path": decomp or path,
+            "fastq": bool(lib.rf_has_fastq(ptr))}
 
 
-def load_reads_range(path: str, byte_lo: int, byte_hi: int):
-    """Parse only the records in a byte range (streaming chunk load)."""
+def load_reads_range(path: str, byte_lo: int, byte_hi: int,
+                     fastq: bool = False):
+    """Parse only the records in a byte range (streaming chunk load).
+    ``fastq`` routes to the sequential fastx parser (FASTQ/mixed files);
+    plain-FASTA ranges use the threaded two-pass parser."""
     from raft_tpu.io.fasta import ReadStore
     lib = _get_lib()
     if lib is None:
         return None
-    ptr = lib.raftio_load_fasta_range(path.encode(), byte_lo, byte_hi)
+    ptr = lib.raftio_load_fastx_range(path.encode(), byte_lo, byte_hi,
+                                      int(fastq))
     if not ptr:
         return None
     h = _FastaHandle(lib, ptr)

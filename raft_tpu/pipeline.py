@@ -153,11 +153,13 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files.
 
-    ``chunk_reads``: streaming mode — process the FASTA in chunks of that
-    many reads so sequence bytes never fully reside in memory (the
-    reference holds ~3.4x the input resident, SURVEY.md §2; this bounds
-    the blob at one chunk). Plain FASTA only; other inputs fall back to
-    the whole-file path.
+    ``chunk_reads``: streaming mode — process the reads in chunks of that
+    many so sequence bytes never fully reside in memory (the reference
+    holds ~3.4x the input resident, SURVEY.md §2; this bounds the blob at
+    one chunk). Works for FASTA, FASTQ, and gz of either (gz inputs
+    decompress once to a temp file the index owns, so chunk loads remain
+    byte-range reads); falls back to the whole-file path only when the
+    native library is unavailable.
 
     ``gz_out``: write all four outputs BGZF-compressed (``.gz`` suffix;
     block-parallel deflate, decompressed bytes identical to the plain
@@ -282,7 +284,7 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     Exactness: coverage/repeats/chop depend only on a read's own events,
     so chunk boundaries cannot change any output byte (enforced by
     tests/test_streaming.py). Returns None when the input cannot be
-    indexed (gz/FASTQ) so the caller falls back.
+    indexed (native library unavailable) so the caller falls back.
 
     With ``spill_paf`` (default: auto for PAF > 2 GiB) the overlap table
     is never resident either: a native two-pass parse writes per-chunk
@@ -360,7 +362,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         hi = min(lo + chunk_reads, n)
         with _Timer(stats, "load_reads"):
             store = native.load_reads_range(
-                read_path, int(rec_off[lo]), int(rec_off[hi]))
+                idx["data_path"], int(rec_off[lo]), int(rec_off[hi]),
+                fastq=idx["fastq"])
         store.real_reads = params.real_reads
         if not params.real_reads and not native.attach_sim_meta(store):
             # degenerate names: per-name python parse (exact contract)

@@ -108,11 +108,42 @@ def test_spill_strict_unknown_name_errors(tmp_path):
     assert st.n_reads == 6
 
 
-def test_chunked_falls_back_on_gz(tmp_path):
+@pytest.mark.parametrize("chunk", [3, 1000])
+@pytest.mark.parametrize("kind", ["gz", "fastq", "fastq_gz"])
+def test_chunked_streams_gz_and_fastq(tmp_path, chunk, kind):
+    """gz/FASTQ inputs STREAM (no whole-file fallback): chunked outputs
+    are byte-identical to the whole-file run. gz inputs decompress once
+    to an index-owned temp file; FASTQ ranges use the sequential fastx
+    parser."""
     tmp = str(tmp_path)
-    reads, paf = datagen.standard_case(seed=889, tmpdir=tmp, n_reads=8,
-                                       gz=True)
-    st = run_pipeline(reads, paf, _params(tmp, "gzfall"), engine="jax",
-                      verbose=False, chunk_reads=4)
-    assert st.n_reads == 8
-    assert (tmp_path / "gzfall.reads.fasta").exists()
+    reads, paf = datagen.standard_case(seed=889, tmpdir=tmp, n_reads=17,
+                                       gz=kind.endswith("gz"),
+                                       fastq=kind.startswith("fastq"))
+    run_pipeline(reads, paf, _params(tmp, "whole"), engine="jax",
+                 verbose=False)
+    st = run_pipeline(reads, paf, _params(tmp, "chunked"), engine="jax",
+                      verbose=False, chunk_reads=chunk)
+    assert st.n_reads == 17
+    for ext in OUTS:
+        a = (tmp_path / f"whole{ext}").read_bytes()
+        b = (tmp_path / f"chunked{ext}").read_bytes()
+        assert a == b, f"{ext} differs at chunk={chunk} kind={kind}"
+
+
+def test_index_reads_gz_temp_cleanup(tmp_path):
+    """The gz index spills decompressed bytes to a temp file and unlinks
+    it when the handle is freed."""
+    import os
+    from raft_tpu.io import native
+    tmp = str(tmp_path)
+    reads, _ = datagen.standard_case(seed=893, tmpdir=tmp, n_reads=5,
+                                     gz=True)
+    idx = native.index_reads(reads)
+    assert idx is not None and idx["n"] == 5
+    assert idx["data_path"] != reads
+    assert os.path.exists(idx["data_path"])
+    data_path = idx["data_path"]
+    del idx
+    import gc
+    gc.collect()
+    assert not os.path.exists(data_path)
