@@ -3,10 +3,12 @@ ownership, per-host output shards, and global fragment numbering.
 
 Design (SURVEY.md §2 "Parallelism strategies", §7 step 5):
 
-* every host parses the FASTA name table (names must intern in global
-  first-seen order so PAF ids agree), keeps sequence bytes only for its
-  contiguous read range, and keeps only overlap events touching owned
-  reads;
+* every host runs the cheap names-only index pass (names must intern in
+  global first-seen order so PAF ids agree), then byte-range-parses
+  SEQUENCE bytes only for its contiguous read range
+  (``raftio_load_fastx_range``) and materializes only the overlap events
+  owned by that range (the native PAF binner, one bin per host) —
+  resident bytes per host ≈ 1/H of the input;
 * symmetric-PAF detection is order-independent once reduced globally:
   the flag is "some row mirrors row 0" (chop.hpp:175-184), so each host
   checks its rows against the broadcast row 0 and the flags are OR-ed;
@@ -75,12 +77,29 @@ def concat_shards(prefix: str, ext: str, n_hosts: int,
     return final
 
 
+def bin_ranges(n_reads: int, n_hosts: int) -> tuple[int, list[tuple[int, int]]]:
+    """(chunk, contiguous ranges) aligned to the native PAF binner's
+    uniform ``floor(id/chunk)`` bins, so host h's read range IS bin h."""
+    chunk = -(-n_reads // n_hosts) if n_reads else 1
+    return chunk, [(min(h * chunk, n_reads), min((h + 1) * chunk, n_reads))
+                   for h in range(n_hosts)]
+
+
 def run_distributed(read_path: str, paf_path: str, params,
                     coordinator: str | None = None,
                     num_processes: int | None = None,
-                    process_id: int | None = None) -> None:
+                    process_id: int | None = None,
+                    strict: bool = True) -> None:
     """Multi-host pipeline. Call once per host (e.g. under SLURM/GKE);
-    jax.distributed picks up cluster env vars when args are None."""
+    jax.distributed picks up cluster env vars when args are None.
+
+    Byte-range ingest: every host runs the cheap names-only index pass
+    (global first-seen interning must agree across hosts), then parses
+    SEQUENCE bytes only for its contiguous read range
+    (``raftio_load_fastx_range``) and materializes only the overlap
+    events owned by its range (the native PAF binner with one bin per
+    host) — resident bytes per host are ~1/H of the input. Falls back to
+    the whole-file parse when the native library is unavailable."""
     import jax
     from jax.experimental import multihost_utils
 
@@ -90,31 +109,85 @@ def run_distributed(read_path: str, paf_path: str, params,
     H = jax.process_count()
     h = jax.process_index()
 
+    from raft_tpu.engine_jax import compute_jax
+    from raft_tpu.io import native
+    from raft_tpu.parallel.mesh import make_mesh
+
+    idx = native.index_reads(read_path)
+    if idx is not None and idx["n"] > 0:
+        n = idx["n"]
+        chunk, ranges = bin_ranges(n, H)
+        lo, hi = ranges[h]
+        bins = native.bin_paf_events(paf_path, idx, n, chunk)
+        if bins is None:
+            idx = None  # PAF side unavailable → whole-parse fallback
+    if idx is None or idx["n"] == 0:
+        return _run_distributed_wholeparse(read_path, paf_path, params,
+                                           H, h)
+    try:
+        if strict and bins.n_unknown:
+            raise ValueError(
+                f"PAF names {bins.n_unknown} read(s) absent from the input "
+                "FASTA (undefined behavior in reference RAFT); "
+                "pass strict=False to drop them")
+        symmetric = bins.symmetric
+        params = params.replace(real_reads=idx["real_reads"],
+                                symmetric_overlaps=symmetric)
+
+        rec_off = idx["rec_off"]
+        if hi > lo:
+            sub_store = native.load_reads_range(
+                idx["data_path"], int(rec_off[lo]), int(rec_off[hi]),
+                fastq=idx["fastq"])
+            sub_store.real_reads = params.real_reads
+            if not params.real_reads:
+                native.attach_sim_meta(sub_store)
+            er, el, eh = bins.events_for_bin(h)
+            sub_table = _EventView(er - lo, el, eh, symmetric)
+        else:  # more hosts than reads: empty shard
+            sub_store = _empty_store(params.real_reads)
+            z = np.empty(0, dtype=np.int32)
+            sub_table = _EventView(z, z.copy(), z.copy(), symmetric)
+    finally:
+        bins.close()
+
+    mesh = make_mesh(local=True)  # this host's chips only
+    res = compute_jax(sub_store, sub_table, params, mesh=mesh, strict=False)
+
+    _allgather_and_emit(params, sub_store, res, h, H, lo)
+
+
+def _run_distributed_wholeparse(read_path: str, paf_path: str, params,
+                                H: int, h: int) -> None:
+    """Fallback: every host parses everything; the owned-range restriction
+    keeps device + emit work local."""
     from raft_tpu.io.fasta import load_reads
     from raft_tpu.io.paf import load_paf
     from raft_tpu.engine_jax import compute_jax
-    from raft_tpu import emit
     from raft_tpu.parallel.mesh import make_mesh
 
-    # 1. every host parses everything (names must intern globally); the
-    #    owned-range restriction below keeps device + emit work local.
-    #    (A byte-range parallel parse is a planned optimization.)
     store = load_reads(read_path)
     table = load_paf(paf_path, store)
     params = params.replace(real_reads=store.real_reads,
                             symmetric_overlaps=table.symmetric)
 
-    lo, hi = shard_ranges(store.n_reads, H)[h]
-
-    # 2. restrict events to owned reads and rebase ids
+    _, ranges = bin_ranges(store.n_reads, H)
+    lo, hi = ranges[h]
     sub_store = _slice_store(store, lo, hi)
     sub_table = _slice_table(table, lo, hi)
 
-    mesh = make_mesh(local=True)  # this host's chips only
+    mesh = make_mesh(local=True)
     # strict=False: sliced tables deliberately carry FOREIGN partner ids
     res = compute_jax(sub_store, sub_table, params, mesh=mesh, strict=False)
+    _allgather_and_emit(params, sub_store, res, h, H, lo)
 
-    # 3. exclusive-scan the fragment numbering across hosts
+
+def _allgather_and_emit(params, sub_store, res, h: int, H: int,
+                        lo: int) -> None:
+    """Exclusive-scan the fragment numbering across hosts, write this
+    host's shard, and concatenate on host 0."""
+    from jax.experimental import multihost_utils
+
     counts = multihost_utils.process_allgather(
         np.asarray([res.n_frags], dtype=np.int64)).ravel()
     offset = int(np.sum(counts[:h]))
@@ -127,6 +200,29 @@ def run_distributed(read_path: str, paf_path: str, params,
         for ext in (".reads.fasta", ".coverage.txt", ".long_repeats.txt",
                     ".long_repeats.bed"):
             concat_shards(prefix, ext, H, remove=True)
+
+
+class _EventView:
+    """Pre-restricted, id-rebased event table (OverlapTable.events()
+    contract) for a host's owned read range."""
+
+    def __init__(self, ev_read, ev_lo, ev_hi, symmetric):
+        self._ev = (np.ascontiguousarray(ev_read, dtype=np.int32),
+                    np.ascontiguousarray(ev_lo, dtype=np.int32),
+                    np.ascontiguousarray(ev_hi, dtype=np.int32))
+        self.symmetric = symmetric
+        self.n_rows = len(ev_read)
+
+    def events(self, n_reads, strict=True):
+        return self._ev
+
+
+def _empty_store(real_reads: bool):
+    from raft_tpu.io.fasta import ReadStore
+    return ReadStore(names=[], seq_blob=b"",
+                     seq_off=np.zeros(1, dtype=np.int64),
+                     lens=np.empty(0, dtype=np.int32),
+                     real_reads=real_reads)
 
 
 def emit_host_shard(prefix: str, sub_store, params, res, host: int,

@@ -23,6 +23,21 @@ def test_shard_ranges():
     assert dist.fragment_offsets([5, 3, 2]) == [0, 5, 8]
 
 
+def test_bin_ranges():
+    """bin_ranges must tile [0, n) contiguously and align with the native
+    PAF binner's floor(id/chunk) bins (range h == bin h)."""
+    for n, H in [(10, 3), (2, 4), (24, 2), (0, 2), (7, 7), (100, 1)]:
+        chunk, ranges = dist.bin_ranges(n, H)
+        assert len(ranges) == H
+        lo_prev = 0
+        for h, (lo, hi) in enumerate(ranges):
+            assert lo == lo_prev and lo <= hi
+            for rid in range(lo, hi):
+                assert rid // chunk == h
+            lo_prev = hi
+        assert lo_prev == n
+
+
 @pytest.mark.parametrize("n_hosts", [2, 3])
 @pytest.mark.parametrize("simulated", [False, True])
 def test_sharded_emit_equals_single(tmp_path, n_hosts, simulated):

@@ -28,9 +28,11 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed(tmp_path):
+@pytest.mark.parametrize("simulated", [False, True])
+def test_two_process_distributed(tmp_path, simulated):
     tmp = str(tmp_path)
-    reads, paf = datagen.standard_case(seed=777, tmpdir=tmp, n_reads=24)
+    reads, paf = datagen.standard_case(seed=777, tmpdir=tmp, n_reads=24,
+                                       simulated=simulated)
 
     params = AlgoParams(est_cov=10, cov_mul=1.3, repeat_length=2000,
                         interval_length=2000, read_length=4000,
