@@ -1,0 +1,281 @@
+"""Ground-truth quality evaluation of the pipeline at workflow scale.
+
+The reference's de-facto integration test is the chr11-2M RAFT-hifiasm
+workflow (``/root/reference/README.md:9-41``) plus the header-derived BED
+QC (``/root/reference/run.sh:1-12``) — i.e. correctness is judged by what
+the fragmentation does to the assembly, not only by byte parity. This
+tool measures the product metrics directly against simulated ground truth
+(``raft_tpu.tools.simulate`` encodes true genome coordinates in read
+headers and emits a truth-repeat BED):
+
+* **long_repeats.bed precision/recall** (base-level, vs the truth BED;
+  also with flank tolerance, since the emitted intervals are flank-
+  expanded by design — ``repeat.hpp:150-168``),
+* **cut placement**: fraction of interior fragment boundaries that land
+  inside a true repeat (RAFT's product invariant is to never cut inside a
+  repeat: ``chop.hpp:225-246``), vs the ``split_naive`` position-blind
+  ablation (C14) which cuts ~uniformly,
+* **fragment stats**: count, N50, length distribution, header-BED genome
+  coverage (the run.sh QC).
+
+Usage::
+
+    python -m raft_tpu.tools.eval_repeats --genome-size 2000000 \
+        --coverage 30 --workdir /tmp/raft_eval
+
+Prints one JSON summary line; see EVAL.md for recorded numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Interval algebra (numpy; no bedtools dependency)
+# ---------------------------------------------------------------------------
+
+def merge_intervals(iv: np.ndarray) -> np.ndarray:
+    """[n, 2] possibly-overlapping intervals → merged, sorted, disjoint."""
+    if len(iv) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    iv = iv[np.lexsort((iv[:, 1], iv[:, 0]))]
+    out = [list(iv[0])]
+    for s, e in iv[1:]:
+        if s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return np.asarray(out, dtype=np.int64)
+
+
+def total_len(iv: np.ndarray) -> int:
+    return int((iv[:, 1] - iv[:, 0]).sum()) if len(iv) else 0
+
+
+def intersect_len(a: np.ndarray, b: np.ndarray) -> int:
+    """Total overlap between two MERGED interval sets."""
+    i = j = 0
+    tot = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i, 0], b[j, 0])
+        hi = min(a[i, 1], b[j, 1])
+        if hi > lo:
+            tot += hi - lo
+        if a[i, 1] < b[j, 1]:
+            i += 1
+        else:
+            j += 1
+    return int(tot)
+
+
+def points_in(points: np.ndarray, iv: np.ndarray) -> np.ndarray:
+    """Boolean mask: point p falls inside some [s, e) of MERGED iv."""
+    if len(iv) == 0 or len(points) == 0:
+        return np.zeros(len(points), dtype=bool)
+    k = np.searchsorted(iv[:, 0], points, side="right") - 1
+    ok = k >= 0
+    res = np.zeros(len(points), dtype=bool)
+    res[ok] = points[ok] < iv[k[ok], 1]
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Output parsing
+# ---------------------------------------------------------------------------
+
+_HDR = re.compile(
+    rb">read=\d+,(forward|reverse),position=(\d+)-(\d+),length=(\d+),")
+
+
+def read_bed(path: str) -> np.ndarray:
+    rows = []
+    with open(path, "rb") as f:
+        for line in f:
+            parts = line.split(b"\t")
+            if len(parts) >= 3:
+                rows.append((int(parts[1]), int(parts[2])))
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 2)
+
+
+def fragment_positions(fasta_path: str):
+    """Genome-coordinate (start, end, strand) of every fragment from the
+    simulated-mode headers (the run.sh:1-12 QC input)."""
+    starts, ends, fwd = [], [], []
+    with open(fasta_path, "rb") as f:
+        for line in f:
+            m = _HDR.match(line)
+            if m:
+                starts.append(int(m.group(2)))
+                ends.append(int(m.group(3)))
+                fwd.append(m.group(1) == b"forward")
+    return (np.asarray(starts, dtype=np.int64),
+            np.asarray(ends, dtype=np.int64), np.asarray(fwd, dtype=bool))
+
+
+def cut_positions(res, store) -> np.ndarray:
+    """Genome positions of RAFT's interior cut markers, exactly.
+
+    Fragment j of a read ends at marker M (read coords ``char_start +
+    char_len``); fragment j+1 starts at ``M - overlap_length``. The CUT is
+    the marker M, one per adjacent fragment pair — a read's own endpoints
+    are not cuts (chop.hpp:280-321 span arithmetic). Forward reads map M
+    to ``start_pos + M``, reverse reads to ``end_pos - M``."""
+    fr = np.asarray(res.frag_read)
+    if len(fr) == 0:
+        return np.empty(0, dtype=np.int64)
+    cs = np.asarray(res.frag_char_start)
+    cl = np.asarray(res.frag_char_len)
+    whole = np.asarray(res.frag_whole)
+    # interior boundary: fragment is not its read's last (emission is in
+    # read order, so "next row is the same read" identifies non-last)
+    not_last = np.zeros(len(fr), dtype=bool)
+    not_last[:-1] = fr[:-1] == fr[1:]
+    sel = not_last & ~whole
+    m = cs[sel] + cl[sel]
+    store.ensure_sim_lists()
+    fwd = np.asarray([a == "forward" for a in store.align])
+    rid = fr[sel]
+    sp = np.asarray(store.start_pos)[rid]
+    ep = np.asarray(store.end_pos)[rid]
+    return np.where(fwd[rid], sp + m, ep - m).astype(np.int64)
+
+
+def naive_cut_positions(store, sub_len: int) -> np.ndarray:
+    """Genome positions of the position-blind ablation's cuts: fixed
+    boundaries every ``sub_len`` read-bp (split_naive.cpp:27-29), mapped
+    through the same strand rule."""
+    store.ensure_sim_lists()
+    cuts = []
+    lens = np.asarray(store.lens)
+    for i in range(store.n_reads):
+        L = int(lens[i])
+        k = np.arange(1, (max(L - 1, 0)) // sub_len + 1, dtype=np.int64)
+        if len(k) == 0:
+            continue
+        m = k * sub_len
+        if store.align[i] == "forward":
+            cuts.append(int(store.start_pos[i]) + m)
+        else:
+            cuts.append(int(store.end_pos[i]) - m)
+    return (np.concatenate(cuts).astype(np.int64)
+            if cuts else np.empty(0, dtype=np.int64))
+
+
+def n50(lengths: np.ndarray) -> int:
+    if len(lengths) == 0:
+        return 0
+    ls = np.sort(lengths)[::-1]
+    half = ls.sum() / 2
+    return int(ls[np.cumsum(ls) >= half][0])
+
+
+# ---------------------------------------------------------------------------
+# Evaluation driver
+# ---------------------------------------------------------------------------
+
+def run_eval(workdir: str, genome_size: int = 2_000_000,
+             coverage: float = 30.0, repeat_fams: int = 3,
+             repeat_len: int = 15000, copies: int = 4, seed: int = 11,
+             engine: str = "jax", verbose: bool = True) -> dict:
+    from raft_tpu.tools.simulate import write_simulation
+    from raft_tpu.params import AlgoParams
+    from raft_tpu.pipeline import run_pipeline
+
+    os.makedirs(workdir, exist_ok=True)
+    prefix = os.path.join(workdir, "sim")
+    info = write_simulation(prefix, genome_size, coverage, repeat_fams,
+                            repeat_len, copies, seed=seed)
+    est_cov = max(1, info["est_cov"])
+
+    # full product run (all four outputs, emitted through the real path)
+    params = AlgoParams(est_cov=est_cov,
+                        outputfilename=os.path.join(workdir, "out"))
+    st = run_pipeline(prefix + ".reads.fasta", prefix + ".overlaps.paf",
+                      params, engine=engine, verbose=False)
+
+    # exact compute-result arrays for the cut-placement analysis
+    from raft_tpu.io.fasta import load_reads
+    from raft_tpu.io.paf import load_paf
+    from raft_tpu.engine_jax import compute_jax
+    store = load_reads(prefix + ".reads.fasta")
+    table = load_paf(prefix + ".overlaps.paf", store)
+    rparams = params.replace(real_reads=store.real_reads,
+                             symmetric_overlaps=table.symmetric)
+    res = compute_jax(store, table, rparams)
+
+    truth = merge_intervals(read_bed(prefix + ".truth_repeats.bed"))
+    pred = merge_intervals(read_bed(
+        os.path.join(workdir, "out.long_repeats.bed")))
+
+    inter = intersect_len(pred, truth)
+    precision = inter / total_len(pred) if total_len(pred) else 0.0
+    recall = inter / total_len(truth) if total_len(truth) else 0.0
+    # flank tolerance: emitted intervals are flank-expanded BY DESIGN
+    # (repeat.hpp:156-168), so also score against flank-expanded truth
+    fl = params.flanking_length
+    truth_fl = merge_intervals(
+        np.stack([np.maximum(truth[:, 0] - fl, 0), truth[:, 1] + fl],
+                 axis=1)) if len(truth) else truth
+    inter_fl = intersect_len(pred, truth_fl)
+    precision_fl = inter_fl / total_len(pred) if total_len(pred) else 0.0
+
+    # fragment QC from the EMITTED headers (run.sh:1-12 style)
+    fs, fe, _ = fragment_positions(os.path.join(workdir, "out.reads.fasta"))
+    frag_iv = merge_intervals(np.stack([fs, fe], axis=1))
+    genome_cov = total_len(frag_iv) / genome_size
+
+    # cut placement: RAFT vs the position-blind ablation
+    cuts = cut_positions(res, store)
+    cuts_in_repeat = int(points_in(cuts, truth).sum())
+    ncuts = naive_cut_positions(store, params.read_length)
+    ncuts_in_repeat = int(points_in(ncuts, truth).sum())
+
+    out = {
+        "n_reads": st.n_reads,
+        "n_paf_rows": st.n_paf_rows,
+        "n_fragments": st.n_fragments,
+        "fragment_n50": n50(fe - fs),
+        "genome_fraction_covered_by_fragments": round(genome_cov, 4),
+        "truth_repeat_bp": total_len(truth),
+        "pred_repeat_bp": total_len(pred),
+        "bed_precision": round(precision, 4),
+        "bed_precision_flank_tolerant": round(precision_fl, 4),
+        "bed_recall": round(recall, 4),
+        "interior_cuts": int(len(cuts)),
+        "cuts_inside_true_repeats": cuts_in_repeat,
+        "cut_in_repeat_rate": round(cuts_in_repeat / max(len(cuts), 1), 4),
+        "naive_interior_cuts": int(len(ncuts)),
+        "naive_cuts_inside_true_repeats": ncuts_in_repeat,
+        "naive_cut_in_repeat_rate": round(
+            ncuts_in_repeat / max(len(ncuts), 1), 4),
+        "fraction_repeat_stat": round(st.fraction_repeat, 4),
+    }
+    if verbose:
+        print(json.dumps(out), flush=True)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--genome-size", type=int, default=2_000_000)
+    ap.add_argument("--coverage", type=float, default=30.0)
+    ap.add_argument("--repeat-fams", type=int, default=3)
+    ap.add_argument("--repeat-len", type=int, default=15000)
+    ap.add_argument("--copies", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--engine", default="jax")
+    a = ap.parse_args(argv)
+    run_eval(a.workdir, a.genome_size, a.coverage, a.repeat_fams,
+             a.repeat_len, a.copies, a.seed, a.engine)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
