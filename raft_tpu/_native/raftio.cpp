@@ -328,11 +328,21 @@ struct RaftFasta {
   std::vector<char> name_blob;   // names joined by '\0'
   std::vector<int64_t> name_off; // n+1
   std::vector<char> seq_blob;
-  std::vector<int64_t> seq_off;  // n+1
+  std::vector<int64_t> seq_off;  // n+1; copy mode: contiguous blob
+                                 // offsets; zero-copy mode: ABSOLUTE
+                                 // offsets into the source buffer
+                                 // ([n] = source size either way)
+  std::vector<int64_t> lens;     // n per-read sequence lengths (zero-copy
+                                 // mode cannot derive them from seq_off)
   std::vector<int64_t> rec_off;  // n+1 record BYTE offsets (index mode)
   int real_reads = 1;
   Interner interner;
   int64_t n = 0;
+  // Zero-copy single-line FASTA: sequence bytes stay in the mmap (or the
+  // gz-decompressed buffer) owned here; ext_seq is the base pointer.
+  Source* src = nullptr;
+  const char* ext_seq = nullptr;
+  ~RaftFasta() { delete src; }
   // Streaming over gz inputs: the index pass spills the decompressed
   // bytes to this temp file (unlinked when the handle is freed); rec_off
   // are offsets into it and chunk loads mmap it like a plain input.
@@ -352,6 +362,8 @@ struct FaSizes {
   int64_t n_records = 0;
   int64_t name_bytes = 0;  // incl. one NUL per name
   int64_t seq_bytes = 0;
+  bool zc_ok = true;  // every record single-seq-line, no CR → sequence
+                      // bytes can stay in the source (zero-copy mode)
 };
 
 size_t fasta_region_start(const char* p, size_t n, size_t lo) {
@@ -384,13 +396,59 @@ void size_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
     out->name_bytes += static_cast<int64_t>(e - b) + 1;
 
     size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    int seq_lines = 0;
     while (j < n && p[j] != '>') {
       const char* l2 = p + j;
       const char* nl2 = static_cast<const char*>(memchr(l2, '\n', n - j));
       size_t l2len = nl2 ? static_cast<size_t>(nl2 - l2) : n - j;
-      out->seq_bytes += static_cast<int64_t>(line_len(l2, l2len));
+      size_t slen = line_len(l2, l2len);
+      out->seq_bytes += static_cast<int64_t>(slen);
+      if (slen != l2len) out->zc_ok = false;  // CR needs stripping
+      if (slen) seq_lines++;
       j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
     }
+    if (seq_lines > 1) out->zc_ok = false;
+    i = j;
+  }
+}
+
+// Zero-copy pass 2: names copy out (small), sequences stay in place —
+// record ABSOLUTE seq offsets + lengths instead of building seq_blob.
+void fill_fasta_zc_region(const char* p, size_t n, size_t lo, size_t hi,
+                          char* name_blob, int64_t name_base,
+                          int64_t* name_off, int64_t* seq_off,
+                          int64_t* lens, int64_t rec_base) {
+  size_t i = fasta_region_start(p, n, lo);
+  int64_t npos = name_base;
+  int64_t rec = rec_base;
+  while (i < hi && i < n) {
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t hlen = line_len(line, llen);
+    size_t b = 1;
+    while (b < hlen && isspace(static_cast<unsigned char>(line[b]))) b++;
+    size_t e = b;
+    while (e < hlen && !isspace(static_cast<unsigned char>(line[e]))) e++;
+    memcpy(name_blob + npos, line + b, e - b);
+    npos += static_cast<int64_t>(e - b);
+    name_blob[npos++] = '\0';
+
+    size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    int64_t s_off = static_cast<int64_t>(j);
+    int64_t s_len = 0;
+    while (j < n && p[j] != '>') {
+      const char* l2 = p + j;
+      const char* nl2 = static_cast<const char*>(memchr(l2, '\n', n - j));
+      size_t l2len = nl2 ? static_cast<size_t>(nl2 - l2) : n - j;
+      if (l2len && s_len == 0) s_off = static_cast<int64_t>(j);
+      s_len += static_cast<int64_t>(l2len);  // zc-verified: single line
+      j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
+    }
+    seq_off[rec] = s_off;
+    lens[rec] = s_len;
+    rec++;
+    name_off[rec] = npos;
     i = j;
   }
 }
@@ -470,7 +528,8 @@ void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
 }
 
 RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
-                                     size_t range_lo, size_t range_hi);
+                                     size_t range_lo, size_t range_hi,
+                                     bool allow_zc);
 
 // Name + byte-offset index over the whole buffer (no sequence copies):
 // the cheap first pass of the streaming (beyond-RAM) pipeline mode.
@@ -521,8 +580,13 @@ RaftFasta* index_fasta_threaded(const char* p, const size_t n) {
 
 // Parse only the records starting in [range_lo, range_hi) — the byte-range
 // primitive behind the streaming (beyond-RAM) pipeline mode.
+// ``allow_zc``: when every record is single-seq-line with no CR (the
+// common case for error-corrected output), sequence bytes are NOT copied
+// — seq_off become ABSOLUTE source offsets and the caller must attach
+// the source buffer to the returned store (ext_seq/src).
 RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
-                                     size_t range_lo, size_t range_hi) {
+                                     size_t range_lo, size_t range_hi,
+                                     bool allow_zc) {
   const int T = n_parse_threads();
 
   const size_t span = range_hi - range_lo;
@@ -539,12 +603,14 @@ RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
     for (auto& th : threads) th.join();
   }
   int64_t total_names = 0, total_name_bytes = 0, total_seq = 0;
+  bool zc = allow_zc;
   std::vector<int64_t> rec_base(T + 1, 0), nb_base(T + 1, 0),
       sb_base(T + 1, 0);
   for (int t = 0; t < T; t++) {
     rec_base[t + 1] = rec_base[t] + sizes[t].n_records;
     nb_base[t + 1] = nb_base[t] + sizes[t].name_bytes;
     sb_base[t + 1] = sb_base[t] + sizes[t].seq_bytes;
+    zc = zc && sizes[t].zc_ok;
   }
   total_names = rec_base[T];
   total_name_bytes = nb_base[T];
@@ -553,23 +619,39 @@ RaftFasta* load_fasta_threaded_range(const char* p, size_t n,
   // pass 2: exact-size allocations written once, in parallel, in place
   auto* fa = new RaftFasta();
   fa->name_blob.resize(total_name_bytes);
-  fa->seq_blob.resize(total_seq);
   fa->name_off.resize(total_names + 1);
   fa->seq_off.resize(total_names + 1);
+  fa->lens.resize(total_names);
   fa->name_off[0] = 0;
   fa->seq_off[0] = 0;
   {
     std::vector<std::thread> threads;
-    for (int t = 0; t < T; t++) {
-      threads.emplace_back(fill_fasta_region, p, n, seg(t), seg(t + 1),
-                           fa->name_blob.data(), nb_base[t],
-                           fa->seq_blob.data(), sb_base[t],
-                           fa->name_off.data(), fa->seq_off.data(),
-                           rec_base[t]);
+    if (zc) {
+      fa->ext_seq = p;
+      fa->seq_off[total_names] = static_cast<int64_t>(n);
+      for (int t = 0; t < T; t++) {
+        threads.emplace_back(fill_fasta_zc_region, p, n, seg(t),
+                             seg(t + 1), fa->name_blob.data(), nb_base[t],
+                             fa->name_off.data(), fa->seq_off.data(),
+                             fa->lens.data(), rec_base[t]);
+      }
+    } else {
+      fa->seq_blob.resize(total_seq);
+      for (int t = 0; t < T; t++) {
+        threads.emplace_back(fill_fasta_region, p, n, seg(t), seg(t + 1),
+                             fa->name_blob.data(), nb_base[t],
+                             fa->seq_blob.data(), sb_base[t],
+                             fa->name_off.data(), fa->seq_off.data(),
+                             rec_base[t]);
+      }
     }
     for (auto& th : threads) th.join();
   }
   fa->n = total_names;
+  if (!zc) {
+    for (int64_t i = 0; i < fa->n; i++)
+      fa->lens[i] = fa->seq_off[i + 1] - fa->seq_off[i];
+  }
 
   // global first-seen-order interning + the record-0 simulated gate
   for (int64_t i = 0; i < fa->n; i++) {
@@ -693,6 +775,9 @@ RaftFasta* load_fastx_buf_range(const char* p, size_t n, size_t lo,
     i = next;
   }
   close_rec();
+  fa->lens.resize(fa->n);
+  for (int64_t r = 0; r < fa->n; r++)
+    fa->lens[r] = fa->seq_off[r + 1] - fa->seq_off[r];
   return fa;
 }
 
@@ -728,12 +813,21 @@ extern "C" {
 
 RaftFasta* raftio_load_fasta(const char* path) {
   {
-    Source src;
-    if (open_source(path, &src) && src.n > mt_threshold() &&
-        src.p[0] == '>') {
-      RaftFasta* fa = load_fasta_threaded_range(src.p, src.n, 0, src.n);
-      if (fa) return fa;
+    auto* src = new Source();
+    if (open_source(path, src) && src->n > mt_threshold() &&
+        src->p[0] == '>') {
+      RaftFasta* fa = load_fasta_threaded_range(src->p, src->n, 0, src->n,
+                                                /*allow_zc=*/true);
+      if (fa) {
+        if (fa->ext_seq) {
+          fa->src = src;  // sequences point into the source buffer
+        } else {
+          delete src;
+        }
+        return fa;
+      }
     }
+    delete src;
   }
   LineReader rd(path);
   if (!rd.ok()) return nullptr;
@@ -799,6 +893,9 @@ RaftFasta* raftio_load_fasta(const char* path) {
     }
   }
   flush();
+  fa->lens.resize(fa->n);
+  for (int64_t i = 0; i < fa->n; i++)
+    fa->lens[i] = fa->seq_off[i + 1] - fa->seq_off[i];
   return fa;
 }
 
@@ -839,13 +936,37 @@ RaftFasta* raftio_index_fastx(const char* path) {
 const char* rf_decomp_path(RaftFasta* fa) { return fa->decomp_path.c_str(); }
 int rf_has_fastq(RaftFasta* fa) { return fa->has_fastq ? 1 : 0; }
 
+static RaftFasta* load_range_common(const char* path, int64_t lo,
+                                    int64_t hi, int fastq) {
+  auto* src = new Source();
+  if (!map_file(path, &src->m)) {
+    delete src;
+    return nullptr;
+  }
+  src->p = src->m.p;
+  src->n = src->m.n;
+  if (static_cast<size_t>(hi) > src->n || lo < 0 || lo >= hi) {
+    delete src;
+    return nullptr;
+  }
+  RaftFasta* fa =
+      fastq ? load_fastx_buf_range(src->p, src->n, static_cast<size_t>(lo),
+                                   static_cast<size_t>(hi))
+            : load_fasta_threaded_range(src->p, src->n,
+                                        static_cast<size_t>(lo),
+                                        static_cast<size_t>(hi),
+                                        /*allow_zc=*/true);
+  if (fa && fa->ext_seq) {
+    fa->src = src;
+  } else {
+    delete src;
+  }
+  return fa;
+}
+
 RaftFasta* raftio_load_fasta_range(const char* path, int64_t lo,
                                    int64_t hi) {
-  Mapped m;
-  if (!map_file(path, &m)) return nullptr;
-  if (static_cast<size_t>(hi) > m.n || lo < 0 || lo >= hi) return nullptr;
-  return load_fasta_threaded_range(m.p, m.n, static_cast<size_t>(lo),
-                                   static_cast<size_t>(hi));
+  return load_range_common(path, lo, hi, 0);
 }
 
 // Byte-range load with fastx (FASTQ/mixed) record support; `fastq` != 0
@@ -853,14 +974,7 @@ RaftFasta* raftio_load_fasta_range(const char* path, int64_t lo,
 // from the index, so the parse needs no record-start guessing).
 RaftFasta* raftio_load_fastx_range(const char* path, int64_t lo,
                                    int64_t hi, int fastq) {
-  Mapped m;
-  if (!map_file(path, &m)) return nullptr;
-  if (static_cast<size_t>(hi) > m.n || lo < 0 || lo >= hi) return nullptr;
-  if (!fastq)
-    return load_fasta_threaded_range(m.p, m.n, static_cast<size_t>(lo),
-                                     static_cast<size_t>(hi));
-  return load_fastx_buf_range(m.p, m.n, static_cast<size_t>(lo),
-                              static_cast<size_t>(hi));
+  return load_range_common(path, lo, hi, fastq);
 }
 
 const int64_t* rf_rec_off(RaftFasta* fa) { return fa->rec_off.data(); }
@@ -876,7 +990,11 @@ int64_t rf_name_blob_size(RaftFasta* fa) {
   return static_cast<int64_t>(fa->name_blob.size());
 }
 const int64_t* rf_name_off(RaftFasta* fa) { return fa->name_off.data(); }
-const char* rf_seq_blob(RaftFasta* fa) { return fa->seq_blob.data(); }
+const char* rf_seq_blob(RaftFasta* fa) {
+  return fa->ext_seq ? fa->ext_seq : fa->seq_blob.data();
+}
+const int64_t* rf_lens(RaftFasta* fa) { return fa->lens.data(); }
+int rf_zero_copy(RaftFasta* fa) { return fa->ext_seq ? 1 : 0; }
 const int64_t* rf_seq_off(RaftFasta* fa) { return fa->seq_off.data(); }
 
 // ---------------------------------------------------------------------------
@@ -1035,6 +1153,206 @@ RaftPaf* load_paf_threaded(const char* p, size_t n, RaftFasta* fa) {
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// Two-phase PAF load. Phase 1 (preparse) tokenizes columns and interns
+// names into THREAD-LOCAL interners — it has no dependency on the FASTA
+// parse, so the pipeline runs both concurrently. Phase 2 (resolve) maps
+// each DISTINCT local name onto the global interner (one lookup per
+// distinct name instead of two per row) and interns names absent from
+// the FASTA in exact file first-seen order, which is the reference's
+// behavior (create_pileup interns PAF names too, chop.hpp:160-163).
+// ---------------------------------------------------------------------------
+struct LocalInterner {
+  std::unordered_map<std::string, int32_t> map;
+  std::vector<std::string> names;  // by local id (= first-seen order)
+  int32_t intern(const char* s, size_t n) {
+    std::string key(s, n);
+    auto it = map.find(key);
+    if (it != map.end()) return it->second;
+    int32_t id = static_cast<int32_t>(names.size());
+    map.emplace(std::move(key), id);
+    names.emplace_back(s, n);
+    return id;
+  }
+};
+
+struct PafPreLocal {
+  std::vector<int32_t> a_id, b_id, a_s, a_e, b_s, b_e;
+  LocalInterner in;
+  bool mirror = false;
+};
+
+struct RaftPafPre {
+  std::vector<PafPreLocal> locals;
+};
+
+namespace {
+
+struct PafRowS {  // tokenized row with name VIEWS (no interner)
+  const char* qn;
+  size_t qn_len;
+  const char* tn;
+  size_t tn_len;
+  int32_t as_, ae, bs, be;
+  bool valid;
+};
+
+inline PafRowS parse_paf_line_s(const char* s, size_t len) {
+  PafRowS r{nullptr, 0, nullptr, 0, 0, 0, 0, 0, false};
+  const char* col[10];
+  size_t clen[10];
+  int nc = 0;
+  const char* p = s;
+  const char* endp = s + len;
+  while (nc < 10) {
+    const char* t = static_cast<const char*>(memchr(p, '\t', endp - p));
+    col[nc] = p;
+    clen[nc] = (t ? t : endp) - p;
+    nc++;
+    if (!t) break;
+    p = t + 1;
+  }
+  if (nc < 10) return r;
+  auto toi = [](const char* q, size_t n) -> int64_t {
+    int64_t v = 0;
+    size_t i = 0;
+    bool neg = false;
+    if (i < n && (q[i] == '-' || q[i] == '+')) neg = (q[i++] == '-');
+    for (; i < n && q[i] >= '0' && q[i] <= '9'; i++)
+      v = v * 10 + (q[i] - '0');
+    return neg ? -v : v;
+  };
+  r.qn = col[0];
+  r.qn_len = clen[0];
+  r.tn = col[5];
+  r.tn_len = clen[5];
+  r.as_ = static_cast<int32_t>(toi(col[2], clen[2]));
+  r.ae = static_cast<int32_t>(toi(col[3], clen[3]));
+  r.bs = static_cast<int32_t>(toi(col[7], clen[7]));
+  r.be = static_cast<int32_t>(toi(col[8], clen[8]));
+  r.valid = true;
+  return r;
+}
+
+void preparse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
+                         const PafRowS& row0, size_t row0_off,
+                         PafPreLocal* out) {
+  size_t i = lo;
+  if (lo != 0) {
+    const char* q = static_cast<const char*>(memchr(p + lo - 1, '\n',
+                                                    n - (lo - 1)));
+    if (!q) return;
+    i = static_cast<size_t>(q - p) + 1;
+  }
+  while (i < hi && i < n) {
+    size_t line_off = i;
+    const char* line = p + i;
+    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+    size_t len = line_len(line, llen);
+    i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    PafRowS r = parse_paf_line_s(line, len);
+    if (!r.valid) continue;
+    // mirror-of-row-0 test (chop.hpp:175-184) on raw names: coords
+    // first (cheap reject), then the two name compares
+    if (line_off != row0_off && row0.valid &&
+        row0.as_ == r.bs && row0.ae == r.be && row0.bs == r.as_ &&
+        row0.be == r.ae && row0.qn_len == r.tn_len &&
+        row0.tn_len == r.qn_len &&
+        memcmp(row0.qn, r.tn, r.tn_len) == 0 &&
+        memcmp(row0.tn, r.qn, r.qn_len) == 0)
+      out->mirror = true;
+    out->a_id.push_back(out->in.intern(r.qn, r.qn_len));
+    out->b_id.push_back(out->in.intern(r.tn, r.tn_len));
+    out->a_s.push_back(r.as_);
+    out->a_e.push_back(r.ae);
+    out->b_s.push_back(r.bs);
+    out->b_e.push_back(r.be);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+RaftPafPre* raftio_preparse_paf(const char* path) {
+  Source src;
+  if (!open_source(path, &src) || !src.n) return nullptr;
+  const char* p = src.p;
+  const size_t n = src.n;
+  // row 0 = first valid row of the FILE, needed by every thread's
+  // mirror test; identified by byte offset
+  PafRowS row0{nullptr, 0, nullptr, 0, 0, 0, 0, 0, false};
+  size_t row0_off = 0;
+  {
+    size_t i = 0;
+    while (i < n && !row0.valid) {
+      row0_off = i;
+      const char* line = p + i;
+      const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+      size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+      row0 = parse_paf_line_s(line, line_len(line, llen));
+      i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+    }
+  }
+  auto* pre = new RaftPafPre();
+  const int T = n_parse_threads();
+  pre->locals.resize(T);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    size_t lo = n * t / T;
+    size_t hi = n * (t + 1) / T;
+    threads.emplace_back(preparse_paf_region, p, n, lo, hi, row0,
+                         row0_off, &pre->locals[t]);
+  }
+  for (auto& th : threads) th.join();
+  return pre;
+}
+
+void raftio_free_pafpre(RaftPafPre* pre) { delete pre; }
+
+// Resolve local ids against the global interner. Unknown names intern in
+// exact file first-seen order (regions merge in order; within a region
+// local-id order IS encounter order).
+RaftPaf* raftio_resolve_paf(RaftPafPre* pre, RaftFasta* fa) {
+  if (!pre || !fa) return nullptr;
+  auto* pf = new RaftPaf();
+  size_t total = 0;
+  bool mirror = false;
+  for (auto& L : pre->locals) {
+    total += L.a_id.size();
+    mirror |= L.mirror;
+  }
+  pf->a_id.resize(total);
+  pf->b_id.resize(total);
+  pf->a_s.resize(total);
+  pf->a_e.resize(total);
+  pf->b_s.resize(total);
+  pf->b_e.resize(total);
+  size_t off = 0;
+  for (auto& L : pre->locals) {
+    std::vector<int32_t> remap(L.in.names.size());
+    for (size_t k = 0; k < L.in.names.size(); k++)
+      remap[k] = fa->interner.intern(L.in.names[k].data(),
+                                     L.in.names[k].size());
+    const size_t m = L.a_id.size();
+    for (size_t r = 0; r < m; r++) {
+      pf->a_id[off + r] = remap[L.a_id[r]];
+      pf->b_id[off + r] = remap[L.b_id[r]];
+    }
+    memcpy(pf->a_s.data() + off, L.a_s.data(), m * sizeof(int32_t));
+    memcpy(pf->a_e.data() + off, L.a_e.data(), m * sizeof(int32_t));
+    memcpy(pf->b_s.data() + off, L.b_s.data(), m * sizeof(int32_t));
+    memcpy(pf->b_e.data() + off, L.b_e.data(), m * sizeof(int32_t));
+    off += m;
+  }
+  pf->symmetric = mirror ? 1 : 0;
+  pf->n_names = static_cast<int64_t>(fa->interner.map.size());
+  return pf;
+}
+
+}  // extern "C"
 
 RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
   {

@@ -101,7 +101,11 @@ class ReadStore:
         return len(self.names)
 
     def seq(self, i: int) -> bytes:
-        return self.seq_blob[self.seq_off[i]:self.seq_off[i + 1]]
+        # read i spans lens[i] bytes from seq_off[i]; under the native
+        # zero-copy layout seq_off[i+1] is the NEXT record's start in the
+        # source file (headers between), so never slice off[i]:off[i+1]
+        s = int(self.seq_off[i])
+        return self.seq_blob[s:s + int(self.lens[i])]
 
     def ensure_sim_lists(self) -> None:
         """Materialize the per-read ``align``/``chrom`` python lists from

@@ -66,6 +66,10 @@ def _configure(lib):
     lib.rf_seq_blob.argtypes = [C.c_void_p]
     lib.rf_seq_off.restype = P(C.c_int64)
     lib.rf_seq_off.argtypes = [C.c_void_p]
+    lib.rf_lens.restype = P(C.c_int64)
+    lib.rf_lens.argtypes = [C.c_void_p]
+    lib.rf_zero_copy.restype = C.c_int
+    lib.rf_zero_copy.argtypes = [C.c_void_p]
     lib.raftio_index_fasta.restype = C.c_void_p
     lib.raftio_index_fasta.argtypes = [C.c_char_p]
     lib.raftio_index_fastx.restype = C.c_void_p
@@ -85,6 +89,11 @@ def _configure(lib):
     lib.raftio_load_paf.restype = C.c_void_p
     lib.raftio_load_paf.argtypes = [C.c_char_p, C.c_void_p]
     lib.raftio_free_paf.argtypes = [C.c_void_p]
+    lib.raftio_preparse_paf.restype = C.c_void_p
+    lib.raftio_preparse_paf.argtypes = [C.c_char_p]
+    lib.raftio_free_pafpre.argtypes = [C.c_void_p]
+    lib.raftio_resolve_paf.restype = C.c_void_p
+    lib.raftio_resolve_paf.argtypes = [C.c_void_p, C.c_void_p]
     lib.rp_n_rows.restype = C.c_int64
     lib.rp_n_rows.argtypes = [C.c_void_p]
     lib.rp_symmetric.restype = C.c_int
@@ -287,9 +296,11 @@ def load_reads(path: str):
     else:
         names = []
     seq_off = _as_array(lib.rf_seq_off(ptr), n + 1, np.int64).copy()
+    # zero-copy mode: seq bytes stay in the source buffer the handle
+    # owns; seq_off are absolute offsets and seq_off[-1] = source size
     seq_blob = _as_array(lib.rf_seq_blob(ptr),
                          int(seq_off[-1]) if n else 0, np.uint8)
-    lens = np.diff(seq_off).astype(np.int32)
+    lens = _as_array(lib.rf_lens(ptr), n, np.int64).astype(np.int32)
 
     store = ReadStore(names=names, seq_blob=seq_blob, seq_off=seq_off,
                       lens=lens, real_reads=real, name_to_id={})
@@ -328,6 +339,66 @@ def load_paf(path: str, store):
         symmetric=bool(lib.rp_symmetric(ptr)),
         n_names=int(lib.rp_n_names(ptr)))
     tab._native_handle = ph  # pin the C store to the table's lifetime
+    return tab
+
+
+class _PafPreHandle:
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        self.close()
+
+    def close(self):
+        if self._ptr:
+            self._lib.raftio_free_pafpre(self._ptr)
+            self._ptr = None
+
+
+def preparse_paf(path: str):
+    """Phase 1 of the two-phase PAF load: tokenize + thread-local
+    interning, with NO dependency on the FASTA parse — run it
+    concurrently with ``load_reads`` and pass the handle to
+    :func:`resolve_paf`. Returns None when the native layer is
+    unavailable (caller uses ``load_paf``)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ptr = lib.raftio_preparse_paf(path.encode())
+    if not ptr:
+        return None
+    return _PafPreHandle(lib, ptr)
+
+
+def resolve_paf(pre, store):
+    """Phase 2: map the preparse's distinct local names onto the global
+    interner (unknown names intern in file first-seen order, the
+    reference's create_pileup behavior) and return the OverlapTable."""
+    from raft_tpu.io.paf import OverlapTable
+    lib = _get_lib()
+    if lib is None or pre is None or pre._ptr is None:
+        return None
+    h = getattr(store, "_native_handle", None)
+    if h is None or h._ptr is None:
+        return None
+    ptr = lib.raftio_resolve_paf(pre._ptr, h._ptr)
+    pre.close()
+    if not ptr:
+        return None
+    ph = _PafHandle(lib, ptr)
+    nrows = lib.rp_n_rows(ptr)
+    cols = {}
+    for col in ("a_id", "b_id", "a_s", "a_e", "b_s", "b_e"):
+        cols[col] = _as_array(getattr(lib, f"rp_{col}")(ptr), nrows,
+                              np.int32)
+    tab = OverlapTable(
+        a_id=cols["a_id"], b_id=cols["b_id"],
+        a_start=cols["a_s"], a_end=cols["a_e"],
+        b_start=cols["b_s"], b_end=cols["b_e"],
+        symmetric=bool(lib.rp_symmetric(ptr)),
+        n_names=int(lib.rp_n_names(ptr)))
+    tab._native_handle = ph
     return tab
 
 
@@ -512,7 +583,8 @@ def load_reads_range(path: str, byte_lo: int, byte_hi: int,
     seq_blob = _as_array(lib.rf_seq_blob(ptr),
                          int(seq_off[-1]) if n else 0, np.uint8)
     store = ReadStore(names=names, seq_blob=seq_blob, seq_off=seq_off,
-                      lens=np.diff(seq_off).astype(np.int32),
+                      lens=_as_array(lib.rf_lens(ptr), n,
+                                     np.int64).astype(np.int32),
                       real_reads=True, name_to_id={})
     store._native_handle = h
     return store

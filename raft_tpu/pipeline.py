@@ -185,12 +185,30 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     _validate_inputs(read_path, paf_path)
     stats = RunStats()
 
+    import concurrent.futures as cf
+
+    # the PAF tokenize/intern phase has no dependency on the FASTA parse
+    # (two-phase load: preparse ∥ load_reads, then a cheap resolve) — both
+    # native calls release the GIL, so they genuinely run concurrently
+    pre_fut = None
+    if use_native is not False:
+        from raft_tpu.io import native as _native
+        _pre_pool = cf.ThreadPoolExecutor(max_workers=1)
+        pre_fut = _pre_pool.submit(_native.preparse_paf, paf_path)
+        _pre_pool.shutdown(wait=False)
+
     with _Timer(stats, "load_reads"):
         store = load_reads(read_path, use_native=use_native)
     if verbose:
         print(f"Real Reads {int(store.real_reads)} ")
     with _Timer(stats, "load_paf"):
-        table = load_paf(paf_path, store, use_native=use_native)
+        table = None
+        if pre_fut is not None:
+            pre = pre_fut.result()
+            if pre is not None:
+                table = _native.resolve_paf(pre, store)
+        if table is None:
+            table = load_paf(paf_path, store, use_native=use_native)
     if verbose:
         print(f"INFO, Symmetric overlaps {int(table.symmetric)} ")
         print(f"INFO, length of alignments  {table.n_rows}()")
