@@ -58,17 +58,104 @@ def run_reference_once(ref_bin: str, reads: str, paf: str) -> float:
     return dt if res.returncode == 0 else float("nan")
 
 
-_BEST = {"ours": float("inf"), "ref": float("inf")}
+def run_reference_parallel(ref_bin: str, reads: str, paf: str) -> float:
+    """Thread-scaled reference baseline (BASELINE.md:17-21 'record both'):
+    nproc reference processes on pre-sharded input, wall time for ALL.
+    Sharding splits reads into nproc contiguous id ranges and gives each
+    process only the PAF rows touching its range (the same per-host split
+    run_distributed uses) — the honest way to parallelize a
+    single-threaded tool."""
+    n_proc = os.cpu_count() or 1
+    if n_proc <= 1:
+        return float("nan")
+    import numpy as np
+    shard_dir = os.path.join(WORK, "refpar")
+    marker = os.path.join(shard_dir, f"ready{N_READS}_{n_proc}_v2")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        from raft_tpu.io.fasta import load_reads
+        from raft_tpu.io.paf import load_paf
+        from raft_tpu.parallel.distributed import bin_ranges
+        store = load_reads(reads)
+        table = load_paf(paf, store)
+        n = store.n_reads
+        _, ranges = bin_ranges(n, n_proc)
+        a = np.asarray(table.a_id, dtype=np.int64)
+        b = np.asarray(table.b_id, dtype=np.int64)
+        with open(paf, "rb") as f:
+            lines = f.readlines()
+        if len(lines) != table.n_rows:
+            return float("nan")  # parser skipped rows; mapping unsafe
+        for h, (lo, hi) in enumerate(ranges):
+            # every row touching the shard's range, plus HALO reads (the
+            # row's other endpoint) in the FASTA — the reference writes
+            # out of bounds on names absent from its read store
+            # (chop.hpp:162-168 overrun), so a faithful parallel run must
+            # carry the partner reads and redo cross-shard rows. That
+            # duplicated work is the honest cost of parallelizing the
+            # unmodified single-threaded tool.
+            mask = ((a >= lo) & (a < hi)) | ((b >= lo) & (b < hi))
+            idx = np.nonzero(mask)[0]
+            with open(os.path.join(shard_dir, f"ovl{h}.paf"), "wb") as f:
+                f.writelines([lines[i] for i in idx])
+            ids = np.unique(np.concatenate(
+                [np.arange(lo, hi, dtype=np.int64), a[idx], b[idx]]))
+            ids = ids[(ids >= 0) & (ids < n)]
+            with open(os.path.join(shard_dir, f"reads{h}.fa"), "wb") as f:
+                for i in ids:
+                    s = store.seq(int(i))
+                    s = s if isinstance(s, bytes) else bytes(s)
+                    f.write(b">" + store.names[int(i)].encode() + b"\n"
+                            + s + b"\n")
+        del lines, store, table
+        open(marker, "w").close()
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(
+        [ref_bin] + ARGS + ["-o", os.path.join(shard_dir, f"out{h}"),
+                            os.path.join(shard_dir, f"reads{h}.fa"),
+                            os.path.join(shard_dir, f"ovl{h}.paf")],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for h in range(n_proc)]
+    ok = all(p.wait(timeout=3600) == 0 for p in procs)
+    dt = time.perf_counter() - t0
+    return dt if ok else float("nan")
 
 
-def _emit_json(ours_best: float, ref_reads_per_s: float) -> None:
+_BEST = {"ours": float("inf"), "ref": float("inf"),
+         "ref_par": float("nan")}
+
+
+def _emit_json(ours_best: float, ref_reads_per_s: float,
+               deadline: bool = False) -> None:
     reads_per_s = N_READS / ours_best if ours_best > 0 else 0.0
-    print(json.dumps({
+    out = {
         "metric": "reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
+        # headline ratio: vs the live 1-thread reference (the reference
+        # IS single-threaded; see vs_parallel_ref for the thread-scaled
+        # comparison BASELINE.md asks to record alongside it)
         "vs_baseline": round(reads_per_s / ref_reads_per_s, 3),
-    }), flush=True)
+    }
+    rp = _BEST["ref_par"]
+    if rp == rp and rp > 0:  # not NaN
+        out["parallel_ref_reads_per_s"] = round(N_READS / rp, 1)
+        if N_READS / rp > ref_reads_per_s:
+            out["vs_parallel_ref"] = round(reads_per_s / (N_READS / rp), 3)
+        else:
+            # sharding the unmodified reference LOST to one thread on
+            # this run (halo duplication and/or machine noise) — the
+            # meaningful scaled baseline is then the ideal bound below
+            out["parallel_ref_slower_than_1t"] = True
+    # the most conservative scaled baseline: PERFECT linear core scaling
+    # of the single-thread figure (real sharding does worse — cross-shard
+    # halo duplication; see BENCHMARKS.md) — report the ratio against it
+    n_proc = os.cpu_count() or 1
+    out["vs_ideal_scaled_ref"] = round(
+        reads_per_s / (ref_reads_per_s * n_proc), 3)
+    if deadline:
+        out["deadline"] = True  # warm-up-only timing; degraded tunnel
+    print(json.dumps(out), flush=True)
 
 
 def _alarm(signum, frame):
@@ -82,7 +169,8 @@ def _alarm(signum, frame):
         else BASELINE_READS_PER_S
     print(f"bench: HARD DEADLINE hit; reporting best-so-far "
           f"(ours {ours:.1f}s)", file=sys.stderr)
-    _emit_json(ours if ours != float("inf") else 0.0, ref_rps)
+    _emit_json(ours if ours != float("inf") else 0.0, ref_rps,
+               deadline=True)
     os._exit(0)
 
 
@@ -110,6 +198,7 @@ def main() -> None:
     ref_bin = build_reference()
     ref_best = float("inf")
     ours_best = float("inf")
+    best_stages = dict(st.stage_seconds)
     budget = float(os.environ.get("RAFT_BENCH_BUDGET_S", "180"))
     t_rounds = time.perf_counter()
     for rnd in range(ROUNDS):
@@ -118,12 +207,28 @@ def main() -> None:
             _BEST["ref"] = ref_best
         t0 = time.perf_counter()
         st = run_pipeline(reads, paf, params, engine="jax", verbose=False)
-        ours_best = min(ours_best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < ours_best:
+            ours_best = dt
+            best_stages = dict(st.stage_seconds)
         _BEST["ours"] = min(_BEST["ours"], ours_best)
         # always complete at least one round; stop when over budget so the
         # driver gets its JSON line even on a degraded TPU tunnel
         if time.perf_counter() - t_rounds > budget:
             break
+
+    # thread-scaled reference baseline (nproc processes, sharded input) —
+    # the second baseline BASELINE.md demands; one interleaved run
+    if ref_bin and os.environ.get("RAFT_BENCH_PARALLEL_REF", "1") != "0":
+        try:
+            # best-of-2: single runs swing with VM CPU steal
+            r1 = run_reference_parallel(ref_bin, reads, paf)
+            r2 = run_reference_parallel(ref_bin, reads, paf)
+            _BEST["ref_par"] = min(x for x in (r1, r2) if x == x) \
+                if (r1 == r1 or r2 == r2) else float("nan")
+        except Exception as e:
+            print(f"bench: parallel-ref baseline failed: {e}",
+                  file=sys.stderr)
 
     if ref_bin and ref_best == ref_best and ref_best != float("inf"):
         ref_reads_per_s = N_READS / ref_best
@@ -133,10 +238,12 @@ def main() -> None:
     signal.alarm(0)  # single JSON line: never race the deadline handler
     # the warm-up timing counts as a (pessimistic) round
     ours_best = min(ours_best, _BEST["ours"])
-    print("bench stages (last run): "
-          + ", ".join(f"{k}={v:.3f}s" for k, v in st.stage_seconds.items()),
+    print("bench stages (best run): "
+          + ", ".join(f"{k}={v:.3f}s" for k, v in best_stages.items()),
           file=sys.stderr)
-    print(f"bench: ours {ours_best:.3f}s, reference {ref_best:.3f}s on "
+    rp = _BEST["ref_par"]
+    print(f"bench: ours {ours_best:.3f}s, reference(1t) {ref_best:.3f}s, "
+          f"reference({os.cpu_count()}proc) {rp:.3f}s on "
           f"{N_READS} reads ({ref_reads_per_s:.0f} ref reads/s)",
           file=sys.stderr)
     _emit_json(ours_best, ref_reads_per_s)

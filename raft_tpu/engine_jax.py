@@ -86,8 +86,20 @@ def default_cov_out() -> str:
 
 
 def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
-               use_pallas: bool = False,
+               use_pallas: bool | None = None,
                cov_out: str | None = None) -> StaticCfg:
+    if use_pallas is None:
+        # Data-driven default (BENCHMARKS.md round-2 on-chip A/B,
+        # tools/bench_pallas.py): the Pallas one-hot-matmul pileup is
+        # byte-equal compiled on TPU across all 12 bench shapes and wins
+        # the ISOLATED kernel timing 4-12% on W >= 256 tiles (loses ~20x
+        # on W=128), but its wrapper ops (tile-edge searchsorted, event
+        # padding/reshape) erase that end-to-end: full-pipeline compute
+        # measured 0.76-0.97 s (pallas) vs 0.68 s (scatter) at 32k reads.
+        # The scatter path therefore stays the default; --pallas opts in
+        # (useful where scatter serializes: event counts far above the
+        # bench densities).
+        use_pallas = False
     reso = params.reso
     il = params.interval_length
     rl = params.repeat_length
@@ -364,7 +376,7 @@ def _slab_copy_idx(cnt: np.ndarray, src_start: np.ndarray,
 
 
 def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
-                strict: bool = True, use_pallas: bool = False,
+                strict: bool = True, use_pallas: bool | None = None,
                 mesh=None, cov_out: str | None = None,
                 on_cov_events=None) -> "ComputeResult":
     """JAX engine: device batches in, flat ComputeResult out (no per-read

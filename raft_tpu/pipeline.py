@@ -145,7 +145,7 @@ def compute_oracle(store: ReadStore, table: OverlapTable,
 def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  engine: str = "jax", strict: bool = True,
                  verbose: bool = True, use_native: bool | None = None,
-                 use_pallas: bool = False, mesh=None,
+                 use_pallas: bool | None = None, mesh=None,
                  chunk_reads: int | None = None,
                  spill_paf: bool | None = None,
                  gz_out: bool = False,
@@ -291,7 +291,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 
 def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                           chunk_reads: int, strict: bool = True,
-                          verbose: bool = True, use_pallas: bool = False,
+                          verbose: bool = True, use_pallas: bool | None = None,
                           mesh=None,
                           spill_paf: bool | None = None,
                           gz_out: bool = False,

@@ -1,0 +1,107 @@
+"""Pallas pileup kernel A/B on the real chip: prove it or drop it.
+
+For every bucket shape of the headline bench workload this times the full
+``device_step`` (same H2D/D2H either way) with the Pallas one-hot-matmul
+pileup vs the XLA diff-scatter pileup, COMPILED on the TPU (not
+interpret mode), and byte-compares the packed outputs — the
+compiled-on-hardware correctness check the interpret-mode unit tests
+cannot give. Run AFTER bench.py, never concurrently (one TPU process).
+
+Usage::
+
+    python -m raft_tpu.tools.bench_pallas [n_reads]
+
+Prints one JSON line: per-shape timings + the verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    n_reads = int(argv[0]) if argv else int(
+        os.environ.get("RAFT_BENCH_READS", "32000"))
+
+    work = os.environ.get(
+        "RAFT_BENCH_DIR",
+        "/dev/shm/raft_bench" if os.path.isdir("/dev/shm") else
+        "/tmp/raft_bench")
+    from raft_tpu.tools.benchgen import gen_dataset
+    reads, paf = gen_dataset(os.path.join(work, f"data{n_reads}"),
+                             n_reads=n_reads, n_overlaps=n_reads * 30,
+                             est_cov=20)
+
+    import jax
+    import jax.numpy as jnp
+    from raft_tpu import bucketing
+    from raft_tpu.engine_jax import derive_cfg, device_step
+    from raft_tpu.io.fasta import load_reads
+    from raft_tpu.io.paf import load_paf
+    from raft_tpu.params import AlgoParams
+
+    backend = jax.default_backend()
+    store = load_reads(reads)
+    table = load_paf(paf, store)
+    params = AlgoParams(est_cov=20)
+    lens = store.lens.astype(np.int32)
+    g = table.events_grouped(store.n_reads, lens, params.reso)
+    if g is None:
+        print(json.dumps({"error": "no native grouped events"}))
+        return 1
+
+    results = []
+    verdict_rows = []
+    for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,
+                                     prebinned=g):
+        cfg_s = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=False)
+        cfg_p = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=True)
+        eligible = (bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0
+                    and backend == "tpu")
+        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
+                jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+
+        def timed(cfg, reps=5):
+            out = device_step(*args, cfg=cfg)  # compile + program load
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = device_step(*args, cfg=cfg)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best, np.asarray(out["packed"])
+
+        t_s, packed_s = timed(cfg_s)
+        row = {"B": bk.B, "W": bk.W, "E": bk.E, "n_used": bk.n_used,
+               "scatter_s": round(t_s, 4), "pallas_eligible": eligible}
+        if eligible:
+            t_p, packed_p = timed(cfg_p)
+            row["pallas_s"] = round(t_p, 4)
+            row["pallas_speedup"] = round(t_s / t_p, 3) if t_p else 0.0
+            row["outputs_equal"] = bool(np.array_equal(packed_s, packed_p))
+            verdict_rows.append(row)
+        results.append(row)
+        print(f"shape B={bk.B} W={bk.W} E={bk.E}: {row}", file=sys.stderr)
+
+    all_equal = all(r.get("outputs_equal", True) for r in verdict_rows)
+    wins = [r for r in verdict_rows if r.get("pallas_speedup", 0) > 1.0]
+    print(json.dumps({
+        "backend": backend,
+        "n_shapes": len(results),
+        "pallas_eligible_shapes": len(verdict_rows),
+        "pallas_outputs_equal": all_equal,
+        "pallas_wins": len(wins),
+        "shapes": results,
+    }), flush=True)
+    return 0 if all_equal else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
