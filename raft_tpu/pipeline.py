@@ -368,20 +368,28 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         ev_lo = ev_lo[order]
         ev_hi = ev_hi[order]
 
+    # Software pipeline across chunks: chunk k+1's LOAD prefetches while
+    # chunk k computes, and chunk k's EMIT runs while k+1 computes. Four
+    # single-worker pools (one per output file) keep cross-chunk append
+    # order per file (FIFO) while the four files write concurrently.
+    # Global fragment numbering needs only the per-chunk counts, which
+    # compute delivers before emit — so emit never gates the next chunk.
+    # Residency stays bounded: at most ~3 chunk stores alive (current,
+    # prefetched, and the oldest still-emitting one).
     import concurrent.futures as cf
+    from collections import deque
     cov_pool = cf.ThreadPoolExecutor(max_workers=1)
+    emit_pools = [cf.ThreadPoolExecutor(max_workers=1) for _ in range(3)]
+    load_pool = cf.ThreadPoolExecutor(max_workers=1)
     prefix = params.outputfilename
     sfx = ".gz" if gz_out else ""
     rec_off = idx["rec_off"]
     names = idx["names"]
-    frag_num = 1
-    first = True
-    for lo in range(0, n, chunk_reads):
-        hi = min(lo + chunk_reads, n)
-        with _Timer(stats, "load_reads"):
-            store = native.load_reads_range(
-                idx["data_path"], int(rec_off[lo]), int(rec_off[hi]),
-                fastq=idx["fastq"])
+
+    def _load_chunk(lo, hi):
+        store = native.load_reads_range(
+            idx["data_path"], int(rec_off[lo]), int(rec_off[hi]),
+            fastq=idx["fastq"])
         store.real_reads = params.real_reads
         if not params.real_reads and not native.attach_sim_meta(store):
             # degenerate names: per-name python parse (exact contract)
@@ -392,22 +400,36 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                 [parse_sim_end_pos(nm) for nm in cn], dtype=np.int64)
             store.align = [parse_sim_align(nm) for nm in cn]
             store.chrom = [parse_sim_chr(nm) for nm in cn]
-
         if bins is not None:
-            with _Timer(stats, "load_paf"):
-                er, el, eh = bins.events_for_bin(lo // chunk_reads)
+            er, el, eh = bins.events_for_bin(lo // chunk_reads)
             sub_table = _EventTable(er - lo, el, eh, symmetric)
         else:
             a, b = np.searchsorted(ev_read, [lo, hi])
             sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b],
                                     ev_hi[a:b], symmetric)
-        # overlap this chunk's coverage emission with its device stage
-        # (safe for append ordering: the previous chunk's emit stage
-        # completed before this chunk's compute started)
-        cov_fut: list = []
-        app = not first
+        return store, sub_table
 
-        def _on_cov(early_res, _lo=lo, _app=app):
+    chunks = [(lo, min(lo + chunk_reads, n))
+              for lo in range(0, n, chunk_reads)]
+    next_fut = load_pool.submit(_load_chunk, *chunks[0])
+    pending: deque = deque()
+    frag_num = 1
+    for ci, (lo, hi) in enumerate(chunks):
+        first = ci == 0
+        with _Timer(stats, "load_reads"):
+            store, sub_table = next_fut.result()
+        if ci + 1 < len(chunks):
+            next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1])
+        while len(pending) > 1:  # bound resident chunks
+            for f in pending.popleft():
+                f.result()
+
+        # coverage emission overlaps this chunk's device stage (its only
+        # input — the chunk's binned events — exists before any device
+        # work); the FIFO cov pool preserves append order across chunks
+        cov_fut: list = []
+
+        def _on_cov(early_res, _lo=lo, _app=not first):
             cov_fut.append(cov_pool.submit(
                 emit.write_coverage, prefix + ".coverage.txt" + sfx,
                 params.reso, early_res, first_read_index=_lo,
@@ -418,35 +440,44 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                               use_pallas=use_pallas, mesh=mesh,
                               cov_out=cov_out, on_cov_events=_on_cov)
 
-        with _Timer(stats, "emit"):
-            emit.write_fragments_fasta(
-                prefix + ".reads.fasta" + sfx, store, params, res,
-                first_read_num=frag_num, append=not first, gz=gz_out)
-            if cov_fut:
-                cov_fut[0].result()
-            else:
-                emit.write_coverage(prefix + ".coverage.txt" + sfx,
-                                    params.reso, res,
-                                    first_read_index=lo, append=not first,
-                                    gz=gz_out)
-            emit.write_long_repeats(prefix + ".long_repeats.txt" + sfx, res,
-                                    first_read_index=lo, append=not first,
-                                    gz=gz_out)
-            emit.write_long_repeats_bed(prefix + ".long_repeats.bed" + sfx,
-                                        store, res, append=not first,
-                                        gz=gz_out)
+        frag_base = frag_num
         frag_num += res.n_frags
         stats.total_coverage += res.total_coverage
         stats.total_windows += res.total_windows
         stats.total_repeat_length += res.total_repeat_length
         stats.total_read_length += res.total_read_length
-        first = False
+
+        if not cov_fut:  # diff8/cov modes: coverage rendered from res
+            cov_fut = [cov_pool.submit(
+                emit.write_coverage, prefix + ".coverage.txt" + sfx,
+                params.reso, res, first_read_index=lo, append=not first,
+                gz=gz_out)]
+        futs = [
+            emit_pools[0].submit(
+                emit.write_fragments_fasta, prefix + ".reads.fasta" + sfx,
+                store, params, res, first_read_num=frag_base,
+                append=not first, gz=gz_out),
+            emit_pools[1].submit(
+                emit.write_long_repeats, prefix + ".long_repeats.txt" + sfx,
+                res, first_read_index=lo, append=not first, gz=gz_out),
+            emit_pools[2].submit(
+                emit.write_long_repeats_bed,
+                prefix + ".long_repeats.bed" + sfx, store, res,
+                append=not first, gz=gz_out),
+        ]
+        pending.append(futs + cov_fut)
+
+    with _Timer(stats, "emit"):
+        while pending:
+            for f in pending.popleft():
+                f.result()
 
     stats.n_reads = n
     stats.n_paf_rows = n_paf_rows
     stats.symmetric = symmetric
     stats.n_fragments = frag_num - 1
-    cov_pool.shutdown()
+    for p in emit_pools + [cov_pool, load_pool]:
+        p.shutdown()
     if bins is not None:
         bins.close()
     if verbose:
