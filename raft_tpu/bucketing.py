@@ -102,7 +102,11 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     ``max_cells`` bounds B*W per bucket: ultralong-read tiers (large W,
     e.g. megabase ONT reads) take proportionally fewer rows per dispatch
     so device arrays stay ~``4*max_cells`` bytes regardless of read
-    length distribution.
+    length distribution. (Round-2 measurement: quadrupling
+    max_rows/max_cells to merge the 12 bench dispatches into ~6 did NOT
+    improve end-to-end — the fetch wall is device execution + D2H
+    bandwidth, not per-dispatch RPC count — so the caps stay at the
+    memory-friendly defaults.)
 
     ``prebinned``: ``(bounds [n+1] int64, w0_all [m] int32,
     w1_all [m] int32)`` — events already read-grouped and window-binned

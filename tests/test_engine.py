@@ -122,7 +122,7 @@ def test_bucket_area_cap():
     ev = np.empty(0, dtype=np.int32)
     buckets = bucketing.make_buckets(lens.astype(np.int32), ev, ev, ev, 50)
     assert all(b.W == 65536 for b in buckets)
-    assert all(b.B * b.W <= (1 << 23) for b in buckets)
+    assert all(b.B * b.W <= (1 << 23) for b in buckets)  # default max_cells
     assert sum(b.n_used for b in buckets) == 600
     # short reads keep wide batches
     lens2 = np.full(600, 20_000, dtype=np.int32)
