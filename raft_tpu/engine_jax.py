@@ -512,15 +512,18 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
             outs.append((bk, cfg, args, out))
         _mark("dispatch")
 
-    # fetch in a worker thread so D2H transfers and the host-side coverage
-    # rebuild overlap the integration of the previous bucket
+    # fetch in worker threads: each device_get is a synchronous RPC round
+    # trip on tunneled links (~24 ms floor regardless of size, measured),
+    # so CONCURRENT gets overlap the latency; ex.map preserves bucket
+    # order for integration
 
     def _fetch(item):
         bk, cfg, args, out = item
         return bk, cfg, args, jax.device_get(out)
 
+    fetch_workers = max(1, int(os.environ.get("RAFT_FETCH_WORKERS", "4")))
     fetched = []
-    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+    with cf.ThreadPoolExecutor(max_workers=fetch_workers) as ex:
         for bk, cfg, args, out in ex.map(_fetch, outs):
             out = {**unpack_out(np.asarray(out.pop("packed")), cfg), **out}
             if "diff8" in out:
