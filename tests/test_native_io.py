@@ -101,6 +101,62 @@ def test_threaded_unknown_name_falls_back(tmp_path, monkeypatch):
     assert nt.b_id[0] == 1  # interned past the FASTA ids
 
 
+def test_preparse_resolve_equals_load_paf(tmp_path):
+    """The two-phase PAF load (preparse concurrent-capable + resolve)
+    must produce exactly what load_paf produces — including unknown
+    names interned in file first-seen order (the reference's
+    create_pileup behavior, chop.hpp:160-163) and the symmetric flag."""
+    from raft_tpu.io import native
+
+    rp = str(tmp_path / "r.fasta")
+    with open(rp, "w") as f:
+        f.write(">a\nACGTACGT\n>b\nGGGGCCCC\n")
+    pp = str(tmp_path / "o.paf")
+    with open(pp, "w") as f:
+        # known-known, known-unknown, unknown-unknown (new ids 2, 3, 4
+        # in encounter order), plus the mirror of row 0 → symmetric
+        f.write("a\t8\t0\t4\t+\tb\t8\t2\t6\t4\t4\t60\n"
+                "a\t8\t1\t5\t+\tGHOST1\t9\t0\t4\t4\t4\t60\n"
+                "GHOST2\t7\t0\t3\t+\tGHOST3\t7\t1\t4\t3\t3\t60\n"
+                "b\t8\t2\t6\t+\ta\t8\t0\t4\t4\t4\t60\n")
+    s1 = native.load_reads(rp)
+    t1 = native.load_paf(pp, s1)
+    s2 = native.load_reads(rp)
+    pre = native.preparse_paf(pp)
+    assert pre is not None
+    t2 = native.resolve_paf(pre, s2)
+    assert t2 is not None
+    assert t2.symmetric == t1.symmetric is True
+    assert t2.n_names == t1.n_names == 5
+    for col in ("a_id", "b_id", "a_start", "a_end", "b_start", "b_end"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t1, col)), np.asarray(getattr(t2, col)),
+            err_msg=col)
+
+
+def test_sim_meta_degenerate_names_fall_back(tmp_path):
+    """Simulated-mode stores whose non-first names lack the expected
+    delimiters must fall back to the per-name python parse (native
+    sim_meta returns NULL) and still match the python loader."""
+    from raft_tpu.io.fasta import _load_reads_py
+
+    rp = str(tmp_path / "r.fasta")
+    with open(rp, "w") as f:
+        f.write(">read=1,forward,position=10-20,length=10,chr1\n"
+                "ACGTACGTAC\n"
+                ">weird_name_no_commas\nGGGG\n")
+    ns = load_reads(rp, use_native=True)
+    ps = _load_reads_py(rp)
+    assert not ns.real_reads and not ps.real_reads
+    np.testing.assert_array_equal(np.asarray(ns.start_pos),
+                                  np.asarray(ps.start_pos))
+    np.testing.assert_array_equal(np.asarray(ns.end_pos),
+                                  np.asarray(ps.end_pos))
+    ns.ensure_sim_lists()
+    assert ns.align == ps.align
+    assert ns.chrom == ps.chrom
+
+
 @pytest.mark.parametrize("fmt", ["bgzf", "gz"])
 def test_gz_threaded_parse_equals_python(tmp_path, monkeypatch, fmt):
     """gz inputs now reach the threaded parsers (BGZF block-parallel,
