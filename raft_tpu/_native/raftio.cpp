@@ -1983,6 +1983,24 @@ bool writev_full(int fd, struct iovec* iov, int cnt) {
   return true;
 }
 
+bool pwritev_full(int fd, struct iovec* iov, int cnt, int64_t off) {
+  while (cnt > 0) {
+    ssize_t w = pwritev(fd, iov, cnt, off);
+    if (w < 0) return false;
+    off += w;
+    while (cnt > 0 && w >= static_cast<ssize_t>(iov->iov_len)) {
+      w -= static_cast<ssize_t>(iov->iov_len);
+      iov++;
+      cnt--;
+    }
+    if (cnt > 0 && w > 0) {
+      iov->iov_base = static_cast<char*>(iov->iov_base) + w;
+      iov->iov_len -= static_cast<size_t>(w);
+    }
+  }
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // BGZF output: block-parallel deflate, the write-side mirror of the
 // block-parallel inflate above. Input splits into 0xff00-byte blocks
@@ -2209,48 +2227,175 @@ class MemWriter {
   size_t n_;
 };
 
+// Byte-count pre-pass writer: same interface as BufWriter/MemWriter but
+// only accumulates the rendered size — no memory traffic. putint mirrors
+// the render writers' digit logic exactly so the counted size equals the
+// written size byte-for-byte (the pwritev ranges below depend on it).
+class CountWriter {
+ public:
+  CountWriter() : n_(0) {}
+  inline void put(const char*, size_t n) { n_ += static_cast<int64_t>(n); }
+  inline void put_ref(const char*, size_t n) {
+    n_ += static_cast<int64_t>(n);
+  }
+  inline void putc(char) { n_++; }
+  inline void putint(int64_t v) {
+    if (v < 0) {
+      n_++;
+      v = -v;
+    }
+    do {
+      n_++;
+      v /= 10;
+    } while (v);
+  }
+  int64_t size() const { return n_; }
+
+ private:
+  int64_t n_;
+};
+
+// BufWriter variant that flushes with pwritev at a tracked file offset:
+// the unit of the PARALLEL zero-copy emitters — each thread renders a
+// contiguous item shard straight into its own disjoint byte range of the
+// file (sized by a CountWriter pre-pass), so payload bytes are written
+// once (no render-into-memory second pass) and all cores format and copy
+// concurrently.
+class PWriter {
+ public:
+  PWriter(int fd, int64_t off)
+      : fd_(fd), off_(off), buf_(1 << 22), n_(0), seg_(0), failed_(false) {
+    iov_.reserve(1024);
+  }
+  ~PWriter() { flush(); }
+  bool ok() const { return !failed_; }
+  int64_t offset() const { return off_; }  // valid after flush()
+  inline void put(const char* s, size_t n) {
+    if (n_ + n > buf_.size()) {
+      flush();
+      if (n > buf_.size()) {
+        if (pwrite_full(fd_, s, n, off_) < 0) failed_ = true;
+        off_ += static_cast<int64_t>(n);
+        return;
+      }
+    }
+    memcpy(buf_.data() + n_, s, n);
+    n_ += n;
+  }
+  inline void put_ref(const char* s, size_t n) {
+    if (iov_.size() + 2 >= 1000) flush();
+    close_seg();
+    iov_.push_back({const_cast<char*>(s), n});
+  }
+  inline void putc(char c) {
+    if (n_ + 1 > buf_.size()) flush();
+    buf_[n_++] = c;
+  }
+  inline void putint(int64_t v) {
+    if (n_ + 24 > buf_.size()) flush();
+    char* d = buf_.data();
+    if (v < 0) {
+      d[n_++] = '-';
+      v = -v;
+    }
+    char tmp[24];
+    int k = 0;
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (k) d[n_++] = tmp[--k];
+  }
+  void flush() {
+    close_seg();
+    if (!iov_.empty()) {
+      int64_t bytes = 0;
+      for (const auto& v : iov_) bytes += static_cast<int64_t>(v.iov_len);
+      if (!pwritev_full(fd_, iov_.data(), static_cast<int>(iov_.size()),
+                        off_))
+        failed_ = true;
+      off_ += bytes;
+      iov_.clear();
+    }
+    n_ = 0;
+    seg_ = 0;
+  }
+
+ private:
+  inline void close_seg() {
+    if (n_ > seg_) {
+      iov_.push_back({buf_.data() + seg_, n_ - seg_});
+      seg_ = n_;
+    }
+  }
+  int fd_;
+  int64_t off_;
+  std::vector<char> buf_;
+  size_t n_, seg_;
+  std::vector<struct iovec> iov_;
+  bool failed_;
+};
+
 // Per-file shard budget: the pipeline writes the output files
-// CONCURRENTLY (one Python thread per file), so each file gets a slice
-// of the machine rather than spawning hw_threads shards each.
-int emit_shards() {
+// CONCURRENTLY (one Python thread per file), so each file gets half the
+// machine. The parallel emitters are zero-copy single-pass (CountWriter
+// pre-pass + disjoint pwritev ranges) so shards contend only on memory
+// bandwidth; measured on a 2-vCPU host one shard already saturates the
+// kernel copy (parallel = 0.305 s vs serial 0.274 s on the 754 MB
+// fragment file), so small machines stay serial and the parallel path
+// engages at >= 4 cores.
+// explicit RAFT_EMIT_SHARDS (0 = unset → auto)
+int emit_shards_explicit() {
   const char* env = getenv("RAFT_EMIT_SHARDS");
   if (env && *env) {
     int v = atoi(env);
-    if (v >= 1) return v;
+    if (v >= 1) return v > 64 ? 64 : v;
   }
-  int t = n_parse_threads() / 4;
+  return 0;
+}
+
+int emit_shards() {
+  int v = emit_shards_explicit();
+  if (v) return v;
+  int t = n_parse_threads() / 2;
   return t < 1 ? 1 : (t > 16 ? 16 : t);
 }
 
 // Render items [0, n_items) with render(writer, lo, hi) sharded over
-// threads, then write shards to `path` in order. Small item counts
-// render single-threaded straight into the file buffer. With gz != 0 the
-// shards are BGZF-compressed (block-parallel) instead of written raw and
-// the file ends with the BGZF EOF marker; decompressed bytes are
-// identical to the gz=0 output.
+// threads. Small item counts render single-threaded straight into the
+// file buffer. The parallel plain-file path is zero-copy single-pass:
+// a CountWriter pre-pass (no memory traffic — formatting arithmetic
+// only) sizes each shard's byte range, then every thread renders its
+// shard with a PWriter straight into its disjoint pwritev range. With
+// gz != 0 the shards render into memory and are BGZF-compressed
+// (block-parallel) instead, ending with the BGZF EOF marker;
+// decompressed bytes are identical to the gz=0 output.
 template <class RenderFn>
 int emit_sharded(const char* path, int64_t n_items, int append,
                  RenderFn render, int gz = 0) {
   const int T = emit_shards();
-  if (!gz && (n_items < 4096 || T == 1)) {
+  // an explicit RAFT_EMIT_SHARDS > 1 engages the parallel path even on
+  // small item counts (tests exercise PWriter that way); the auto
+  // default keeps small files on the serial fast path
+  if (!gz && (T == 1 || (n_items < 4096 && emit_shards_explicit() == 0))) {
     BufWriter w(path, append != 0);
     if (!w.ok()) return -1;
     render(w, static_cast<int64_t>(0), n_items);
     return 0;
   }
-  std::vector<MemWriter> shards(T);
-  std::vector<std::thread> threads;
-  for (int t = 0; t < T; t++) {
-    int64_t lo = n_items * t / T;
-    int64_t hi = n_items * (t + 1) / T;
-    threads.emplace_back(
-        [&shards, t, lo, hi, &render]() { render(shards[t], lo, hi); });
-  }
-  for (auto& th : threads) th.join();
-  int fd = open(path, O_WRONLY | O_CREAT | (append ? O_APPEND : O_TRUNC),
-                0644);
-  if (fd < 0) return -1;
   if (gz) {
+    std::vector<MemWriter> shards(T);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      int64_t lo = n_items * t / T;
+      int64_t hi = n_items * (t + 1) / T;
+      threads.emplace_back(
+          [&shards, t, lo, hi, &render]() { render(shards[t], lo, hi); });
+    }
+    for (auto& th : threads) th.join();
+    int fd = open(path, O_WRONLY | O_CREAT | (append ? O_APPEND : O_TRUNC),
+                  0644);
+    if (fd < 0) return -1;
     const int ZT = n_parse_threads();
     for (auto& s : shards)
       if (s.size() && !bgzf_write(fd, s.data(), s.size(), ZT)) {
@@ -2261,13 +2406,64 @@ int emit_sharded(const char* path, int64_t n_items, int append,
       close(fd);
       return -1;
     }
-  } else {
-    for (auto& s : shards)
-      if (s.size() && !write_full(fd, s.data(), s.size())) {
-        close(fd);
-        return -1;
-      }
+    close(fd);
+    return 0;
   }
+  // parallel zero-copy: counting pre-pass → disjoint pwritev ranges
+  std::vector<int64_t> sizes(static_cast<size_t>(T), 0);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      int64_t lo = n_items * t / T;
+      int64_t hi = n_items * (t + 1) / T;
+      threads.emplace_back([&sizes, t, lo, hi, &render]() {
+        CountWriter w;
+        render(w, lo, hi);
+        sizes[t] = w.size();
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  // NO O_APPEND: on Linux pwrite ignores the offset on O_APPEND fds;
+  // append mode instead bases the ranges at the current file size
+  int fd = open(path, O_WRONLY | O_CREAT | (append ? 0 : O_TRUNC), 0644);
+  if (fd < 0) return -1;
+  int64_t base = 0;
+  if (append) {
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      close(fd);
+      return -1;
+    }
+    base = static_cast<int64_t>(st.st_size);
+  }
+  std::vector<int64_t> starts(static_cast<size_t>(T) + 1, base);
+  for (int t = 0; t < T; t++) starts[t + 1] = starts[t] + sizes[t];
+  if (ftruncate(fd, starts[T]) != 0) {
+    close(fd);
+    return -1;
+  }
+  std::vector<uint8_t> fail(static_cast<size_t>(T), 0);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      int64_t lo = n_items * t / T;
+      int64_t hi = n_items * (t + 1) / T;
+      threads.emplace_back([&, t, lo, hi]() {
+        PWriter w(fd, starts[t]);
+        render(w, lo, hi);
+        w.flush();
+        if (!w.ok() || w.offset() != starts[t + 1]) fail[t] = 1;
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  for (int t = 0; t < T; t++)
+    if (fail[t]) {  // count/render divergence or I/O error: restore and
+      if (ftruncate(fd, base) != 0) {}  // let the caller's fallback rewrite
+      close(fd);
+      return -1;
+    }
   close(fd);
   return 0;
 }
