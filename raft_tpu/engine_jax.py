@@ -73,6 +73,7 @@ class StaticCfg:
     overlap_length: int
     use_pallas: bool = False
     cov_out: str = "host"
+    ev_pack: int = 32  # event wire format: 16/24/32-bit packed, 0 = pairs
 
 
 def default_cov_out() -> str:
@@ -115,7 +116,94 @@ def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
                      flank=params.flanking_length, interval_length=il,
                      div=params.div, overlap_length=params.overlap_length,
                      use_pallas=use_pallas,
-                     cov_out=cov_out or default_cov_out())
+                     cov_out=cov_out or default_cov_out(),
+                     ev_pack=event_pack_mode(W, E))
+
+
+def _ev_bits_w0(W: int) -> int:
+    """Bits for a window index in [0, W): k = log2(W) (W is a power of
+    two in every bucket tier)."""
+    return max(int(W - 1).bit_length(), 1)
+
+
+def event_pack_mode(W: int, E: int) -> int:
+    """Event wire format: each event is (w0, span) in 2k+1 bits where
+    k = log2(W) — w0 in k bits, span = w1-w0+1 in k+1 bits (span 0 =
+    invalid/padding). H2D transfer bytes are the scarce resource on
+    tunneled links (~44 MB/s measured), so events ship in the narrowest
+    byte-aligned layout the tier allows:
+
+    * 16 → uint16 per event (W <= 128)
+    * 24 → three bytes per event, 4 events per 3 uint32 words
+           (W <= 2048; needs E % 4 == 0, which every tier ladder gives)
+    * 32 → one uint32 per event (W <= 32768)
+    *  0 → (w0, span) int32 pairs (ultralong tiers beyond 32768 windows)
+    """
+    bits = 2 * _ev_bits_w0(W) + 1
+    if bits <= 16:
+        return 16
+    if bits <= 24 and E % 4 == 0:
+        return 24
+    if bits <= 32:
+        return 32
+    return 0
+
+
+def pack_events(ev_w0, ev_w1, cfg: StaticCfg) -> np.ndarray:
+    """Host side of the event wire format (see event_pack_mode).
+
+    Sanitizes exactly like the host coverage renderer
+    (raftio_emit_coverage_events): an event is valid iff
+    ``w1 >= w0 and 0 <= w0 < W``; w1 clamps to W-1 (only reachable on
+    non-strict malformed input — strict mode guarantees in-bounds).
+
+    Packs the FULL array it is given (sharded buckets pass all shards'
+    slabs concatenated while cfg.E is per-shard; slabs are multiples of
+    4 events so the 24-bit groups never straddle a shard boundary)."""
+    W = cfg.W
+    k = _ev_bits_w0(W)
+    # all-int32 arithmetic: this runs per event on the host critical path
+    w0 = np.asarray(ev_w0, dtype=np.int32)
+    w1 = np.asarray(ev_w1, dtype=np.int32)
+    valid = (w1 >= w0) & (w0 >= 0) & (w0 < W)
+    span = np.where(valid, np.minimum(w1, W - 1) - w0 + 1, 0)
+    w0c = np.where(valid, w0, 0)
+    if cfg.ev_pack == 0:
+        return np.stack([w0c, span], axis=1)
+    v = w0c.view(np.uint32) | (span.view(np.uint32) << np.uint32(k))
+    if cfg.ev_pack == 16:
+        return v.astype(np.uint16)
+    if cfg.ev_pack == 32:
+        return v
+    q = v.reshape(len(v) // 4, 4)  # uint32 shifts truncate mod 2^32
+    a = q[:, 0] | (q[:, 1] << np.uint32(24))
+    b = (q[:, 1] >> np.uint32(8)) | (q[:, 2] << np.uint32(16))
+    c = (q[:, 2] >> np.uint32(16)) | (q[:, 3] << np.uint32(8))
+    return np.stack([a, b, c], axis=1).reshape(-1)
+
+
+def unpack_events(ev_pk, cfg: StaticCfg):
+    """Device side of the event wire format → (ev_w0, ev_w1) int32 [E].
+    Invalid/padding events decode to w1 = w0 - 1, which the pileup's
+    ``w1 >= w0`` validity test drops — no separate mask travels."""
+    W, E = cfg.W, cfg.E
+    k = _ev_bits_w0(W)
+    if cfg.ev_pack == 0:
+        w0 = ev_pk[:, 0]
+        return w0, w0 + ev_pk[:, 1] - 1
+    if cfg.ev_pack == 24:
+        g = ev_pk.reshape(E // 4, 3)
+        a, b, c = g[:, 0], g[:, 1], g[:, 2]
+        v0 = a & 0xFFFFFF
+        v1 = (a >> 24) | ((b & 0xFFFF) << 8)
+        v2 = (b >> 16) | ((c & 0xFF) << 16)
+        v3 = c >> 8
+        v = jnp.stack([v0, v1, v2, v3], axis=1).reshape(E)
+    else:
+        v = ev_pk.astype(jnp.uint32)
+    w0 = (v & ((1 << k) - 1)).astype(jnp.int32)
+    span = (v >> k).astype(jnp.int32)
+    return w0, w0 + span - 1
 
 
 # ---------------------------------------------------------------------------
@@ -303,12 +391,15 @@ def unpack_out(packed: np.ndarray, cfg: StaticCfg) -> dict:
         ok8=packed[:, base + 4] != 0)
 
 
-def device_step_impl(lens, ev_off, ev_w0, ev_w1, cfg: StaticCfg):
+def device_step_impl(lens, ev_off, ev_pk, cfg: StaticCfg):
     """Full per-batch pipeline: pileup → repeat scan → chop (unjitted).
 
     ``ev_off`` is the [B+1] exclusive per-row event offset table; row ids
-    are reconstructed on device (see ``rows_from_offsets``)."""
+    are reconstructed on device (see ``rows_from_offsets``). ``ev_pk`` is
+    the packed event array (see ``event_pack_mode``); (w0, w1) decode on
+    device — H2D ships the narrowest wire format the tier allows."""
     ev_row = rows_from_offsets(ev_off, cfg)
+    ev_w0, ev_w1 = unpack_events(ev_pk, cfg)
     if (cfg.use_pallas and cfg.W % 128 == 0
             and cfg.B % min(128, cfg.B) == 0
             and jax.default_backend() == "tpu"):
@@ -346,8 +437,8 @@ def device_step_impl(lens, ev_off, ev_w0, ev_w1, cfg: StaticCfg):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def device_step(lens, ev_off, ev_w0, ev_w1, *, cfg: StaticCfg):
-    return device_step_impl(lens, ev_off, ev_w0, ev_w1, cfg)
+def device_step(lens, ev_off, ev_pk, *, cfg: StaticCfg):
+    return device_step_impl(lens, ev_off, ev_pk, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +588,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
             cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards,
                              params, use_pallas=use_pallas, cov_out=cov_out)
             args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
-                    jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+                    jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg)))
             key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
             if key not in compiles:
                 compiles[key] = pool.submit(

@@ -96,20 +96,20 @@ def sharded_device_step(mesh: Mesh):
     axis = mesh.axis_names[0]
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def step(lens, ev_off, ev_w0, ev_w1, *, cfg: StaticCfg):
-        def local(l, eo, ew0, ew1):
-            out = device_step_impl(l, eo, ew0, ew1, cfg)
+    def step(lens, ev_off, ev_pk, *, cfg: StaticCfg):
+        def local(l, eo, epk):
+            out = device_step_impl(l, eo, epk, cfg)
             # global stats ride a psum collective (ICI), matching the
             # reference's global accumulators (repeat.hpp:93-97)
             out["global_rep_len"] = jax.lax.psum(
                 jnp.sum(out["packed"][:, rep_len_sum_col(cfg)]), axis)
             return out
 
-        specs_in = (P(axis), P(axis), P(axis), P(axis))
+        specs_in = (P(axis), P(axis), P(axis))
         out_specs = {"packed": P(axis), "global_rep_len": P()}
         if cfg.cov_out in ("diff8", "cov"):
             out_specs[cfg.cov_out] = P(axis)
         return jax.shard_map(local, mesh=mesh, in_specs=specs_in,
-                             out_specs=out_specs)(lens, ev_off, ev_w0, ev_w1)
+                             out_specs=out_specs)(lens, ev_off, ev_pk)
 
     return step

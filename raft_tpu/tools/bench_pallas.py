@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
     from raft_tpu import bucketing
-    from raft_tpu.engine_jax import derive_cfg, device_step
+    from raft_tpu.engine_jax import derive_cfg, device_step, pack_events
     from raft_tpu.io.fasta import load_reads
     from raft_tpu.io.paf import load_paf
     from raft_tpu.params import AlgoParams
@@ -65,7 +65,7 @@ def main(argv=None) -> int:
         eligible = (bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0
                     and backend == "tpu")
         args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
-                jnp.asarray(bk.ev_w0), jnp.asarray(bk.ev_w1))
+                jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg_s)))
 
         def timed(cfg, reps=5):
             out = device_step(*args, cfg=cfg)  # compile + program load

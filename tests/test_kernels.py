@@ -9,9 +9,10 @@ import pytest
 import jax.numpy as jnp
 
 from raft_tpu import bucketing
-from raft_tpu.engine_jax import (chop_markers, derive_cfg,
-                                 pileup_diff_scatter, repeat_scan,
-                                 rows_from_offsets)
+from raft_tpu.engine_jax import (chop_markers, derive_cfg, event_pack_mode,
+                                 pack_events, pileup_diff_scatter,
+                                 repeat_scan, rows_from_offsets,
+                                 unpack_events)
 from raft_tpu.ops import oracle
 from raft_tpu.params import AlgoParams
 
@@ -185,6 +186,36 @@ def test_closed_form_slot_bounds(reso, rl, il, l, seed):
         stars2 = oracle.markers_one_read(L2, il)
         assert len(stars2) <= cfg.M
         assert len(oracle.chop_one_read(L2, stars2, l, il, 0)) <= cfg.F
+
+
+@pytest.mark.parametrize("W,E,want_mode", [
+    (64, 64, 16), (128, 64, 16),        # 2k+1 <= 16 bits
+    (256, 64, 24), (2048, 128, 24),     # three-byte mode
+    (2048, 66, 32),                     # E % 4 != 0 → no 24-bit groups
+    (4096, 64, 32), (32768, 64, 32),    # one uint32 per event
+    (1 << 16, 64, 0), (1 << 20, 64, 0),  # ultralong → int32 pairs
+])
+@pytest.mark.parametrize("seed", range(3))
+def test_event_pack_roundtrip(W, E, want_mode, seed):
+    """The H2D event wire format must round-trip exactly: valid events
+    decode to their (w0, w1); invalid/padding events (w1 < w0, the
+    bucketing pad sentinel w1 = -1) decode to span 0, i.e. w1 = w0 - 1,
+    which the pileup validity test drops."""
+    rng = np.random.default_rng(400 + seed)
+    assert event_pack_mode(W, E) == want_mode
+    cfg = derive_cfg(8, W, E, AlgoParams(est_cov=5))
+    assert cfg.ev_pack == want_mode
+    w0 = rng.integers(0, W, E).astype(np.int64)
+    w1 = np.where(rng.random(E) < 0.25, -1,           # pad sentinel
+                  rng.integers(0, W, E)).astype(np.int64)
+    pk = pack_events(w0, w1, cfg)
+    # wire width: 2/3/4 bytes per event (8 for the pairs fallback)
+    assert pk.nbytes == E * {16: 2, 24: 3, 32: 4, 0: 8}[want_mode]
+    g0, g1 = (np.asarray(a) for a in unpack_events(jnp.asarray(pk), cfg))
+    valid = w1 >= w0
+    np.testing.assert_array_equal(g0[valid], w0[valid])
+    np.testing.assert_array_equal(g1[valid], w1[valid])
+    assert (g1[~valid] < g0[~valid]).all()
 
 
 @pytest.mark.parametrize("seed", range(4))
