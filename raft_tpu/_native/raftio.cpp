@@ -13,6 +13,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
 #include <cctype>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1650,6 +1651,7 @@ ssize_t pwrite_full(int fd, const void* buf, size_t n, int64_t off) {
   size_t done = 0;
   while (done < n) {
     ssize_t w = pwrite(fd, p + done, n - done, off + done);
+    if (w < 0 && errno == EINTR) continue;
     if (w <= 0) return -1;
     done += static_cast<size_t>(w);
   }
@@ -1960,6 +1962,7 @@ bool write_full(int fd, const char* p, size_t n) {
   size_t done = 0;
   while (done < n) {
     ssize_t w = write(fd, p + done, n - done);
+    if (w < 0 && errno == EINTR) continue;
     if (w <= 0) return false;
     done += static_cast<size_t>(w);
   }
@@ -1969,6 +1972,7 @@ bool write_full(int fd, const char* p, size_t n) {
 bool writev_full(int fd, struct iovec* iov, int cnt) {
   while (cnt > 0) {
     ssize_t w = writev(fd, iov, cnt);
+    if (w < 0 && errno == EINTR) continue;
     if (w < 0) return false;
     while (cnt > 0 && w >= static_cast<ssize_t>(iov->iov_len)) {
       w -= static_cast<ssize_t>(iov->iov_len);
@@ -1986,6 +1990,7 @@ bool writev_full(int fd, struct iovec* iov, int cnt) {
 bool pwritev_full(int fd, struct iovec* iov, int cnt, int64_t off) {
   while (cnt > 0) {
     ssize_t w = pwritev(fd, iov, cnt, off);
+    if (w < 0 && errno == EINTR) continue;
     if (w < 0) return false;
     off += w;
     while (cnt > 0 && w >= static_cast<ssize_t>(iov->iov_len)) {
@@ -2459,10 +2464,17 @@ int emit_sharded(const char* path, int64_t n_items, int append,
     for (auto& th : threads) th.join();
   }
   for (int t = 0; t < T; t++)
-    if (fail[t]) {  // count/render divergence or I/O error: restore and
-      if (ftruncate(fd, base) != 0) {}  // let the caller's fallback rewrite
+    if (fail[t]) {
+      // count/render divergence or I/O error: restore the original length
+      // so the caller's fallback can rewrite/append cleanly. If the restore
+      // itself fails the file still ends with partial shard bytes — return
+      // -2 so the caller knows a plain append would corrupt the output.
+      int rc;
+      do {
+        rc = ftruncate(fd, base);
+      } while (rc != 0 && errno == EINTR);
       close(fd);
-      return -1;
+      return rc == 0 ? -1 : -2;
     }
   close(fd);
   return 0;

@@ -104,7 +104,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": False, "stats_json": None,
               "chunk_reads": None, "devices": None, "spill_paf": None,
-              "gz_out": False, "cov_out": None}
+              "gz_out": False, "cov_out": None, "trace": None}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -142,6 +142,11 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             skip = True
         elif a.startswith("--cov-out="):
             extras["cov_out"] = a.split("=", 1)[1]
+        elif a == "--trace":
+            extras["trace"] = argv[i + 1]
+            skip = True
+        elif a.startswith("--trace="):
+            extras["trace"] = a.split("=", 1)[1]
         elif a == "--spill-paf":
             extras["spill_paf"] = True
         elif a == "--no-spill-paf":
@@ -166,6 +171,9 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --pure-python-io        disable the native C++ I/O library\n"
                 "  --no-compat-getopt      -v no longer falls through to -o\n"
                 "  --profile               print per-stage timings\n"
+                "  --trace DIR             capture a JAX profiler trace of\n"
+                "                          the run into DIR (view with\n"
+                "                          TensorBoard / xprof)\n"
                 "  --stats-json FILE       write machine-readable run stats\n"
                 "  --chunk-reads N         streaming mode: bound memory by\n"
                 "                          processing N reads at a time\n"
@@ -247,14 +255,16 @@ def main(argv: list[str] | None = None) -> int:
     if extras["devices"]:
         from raft_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(extras["devices"])
-    stats = run_pipeline(reads_path, paf_path, params,
-                         engine=extras["engine"], strict=extras["strict"],
-                         use_native=extras["use_native"],
-                         use_pallas=extras["pallas"], mesh=mesh,
-                         chunk_reads=extras["chunk_reads"],
-                         spill_paf=extras["spill_paf"],
-                         gz_out=extras["gz_out"],
-                         cov_out=extras["cov_out"])
+    from raft_tpu import profiling
+    with profiling.trace(extras["trace"]):
+        stats = run_pipeline(reads_path, paf_path, params,
+                             engine=extras["engine"], strict=extras["strict"],
+                             use_native=extras["use_native"],
+                             use_pallas=extras["pallas"], mesh=mesh,
+                             chunk_reads=extras["chunk_reads"],
+                             spill_paf=extras["spill_paf"],
+                             gz_out=extras["gz_out"],
+                             cov_out=extras["cov_out"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

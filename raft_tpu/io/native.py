@@ -644,6 +644,12 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
         ao_ptr = align_off.ctypes.data
         so_ptr = suffix_off.ctypes.data
 
+    base_size = None
+    if append:
+        try:
+            base_size = os.path.getsize(path)
+        except OSError:
+            base_size = 0
     rc = lib.raftio_emit_frags_full(
         path.encode(), _seq_ptr(lib, store), seq_off,
         res.n_frags,
@@ -655,6 +661,15 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
         ac_ptr, sp_ptr, ep_ptr,
         align_blob, ao_ptr, suffix_blob, so_ptr, first_read_num,
         int(append), int(gz))
+    if rc != 0 and base_size is not None:
+        # The native emitter restores the original length itself (rc=-1);
+        # rc=-2 means that restore failed and the file still carries
+        # partial shard bytes — truncate here so the caller's fallback
+        # append continues from clean pre-call state either way.
+        try:
+            os.truncate(path, base_size)
+        except OSError:
+            pass
     return rc == 0
 
 

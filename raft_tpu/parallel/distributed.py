@@ -99,7 +99,18 @@ def run_distributed(read_path: str, paf_path: str, params,
     (``raftio_load_fastx_range``) and materializes only the overlap
     events owned by its range (the native PAF binner with one bin per
     host) — resident bytes per host are ~1/H of the input. Falls back to
-    the whole-file parse when the native library is unavailable."""
+    the whole-file parse when the native library is unavailable.
+
+    Failure semantics: there is NO elastic recovery or checkpointing
+    (matching the reference, which has none — SURVEY.md §5). The run is
+    a minutes-scale batch job with exactly two synchronization points
+    (the fragment-count allgather and the final emit barrier); if any
+    process dies mid-run the survivors BLOCK in the next collective
+    until jax.distributed's heartbeat/RPC timeout kills them — rerun the
+    whole job. Output shards are only concatenated on host 0 after the
+    barrier, so a failed run never produces a truncated final file
+    (stale ``*.shard-*`` files may remain and are overwritten on rerun).
+    """
     import jax
     from jax.experimental import multihost_utils
 

@@ -1,6 +1,9 @@
-"""REAL multi-process jax.distributed run (2 processes, CPU backend):
-the concatenated shard outputs must equal a single-host run byte-for-byte.
-Marked slow (spawns subprocesses, ~1 min)."""
+"""REAL multi-process jax.distributed runs (CPU backend): the
+concatenated shard outputs must equal a single-host run byte-for-byte.
+
+Cases: H=2 (real + simulated headers) and H=4 on 9 reads — uneven
+contiguous ranges (3/3/3/0) including an EMPTY last shard, exercising the
+empty-store emit path end-to-end. Marked slow (spawns subprocesses)."""
 
 from __future__ import annotations
 
@@ -27,13 +30,8 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("simulated", [False, True])
-def test_two_process_distributed(tmp_path, simulated):
+def _run_and_compare(tmp_path, reads, paf, n_proc):
     tmp = str(tmp_path)
-    reads, paf = datagen.standard_case(seed=777, tmpdir=tmp, n_reads=24,
-                                       simulated=simulated)
-
     params = AlgoParams(est_cov=10, cov_mul=1.3, repeat_length=2000,
                         interval_length=2000, read_length=4000,
                         flanking_length=300, overlap_length=200,
@@ -46,10 +44,10 @@ def test_two_process_distributed(tmp_path, simulated):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(pid),
+            [sys.executable, worker, coordinator, str(n_proc), str(pid),
              reads, paf, f"{tmp}/multi"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)
+        for pid in range(n_proc)
     ]
     outs = []
     for p in procs:
@@ -61,4 +59,22 @@ def test_two_process_distributed(tmp_path, simulated):
     for ext in OUTS:
         a = (tmp_path / f"single{ext}").read_bytes()
         b = (tmp_path / f"multi{ext}").read_bytes()
-        assert a == b, f"{ext} differs under real 2-process run"
+        assert a == b, f"{ext} differs under real {n_proc}-process run"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("simulated", [False, True])
+def test_two_process_distributed(tmp_path, simulated):
+    reads, paf = datagen.standard_case(seed=777, tmpdir=str(tmp_path),
+                                       n_reads=24, simulated=simulated)
+    _run_and_compare(tmp_path, reads, paf, n_proc=2)
+
+
+@pytest.mark.slow
+def test_four_process_uneven_empty_shard(tmp_path):
+    # 9 reads, H=4: bin_ranges chunk=3 → (0,3),(3,6),(6,9),(9,9) — the
+    # last host owns ZERO reads and must still emit valid empty shards
+    # and participate in the fragment-offset allgather.
+    reads, paf = datagen.standard_case(seed=4242, tmpdir=str(tmp_path),
+                                       n_reads=9)
+    _run_and_compare(tmp_path, reads, paf, n_proc=4)
