@@ -122,7 +122,66 @@ def run_reference_parallel(ref_bin: str, reads: str, paf: str) -> float:
 
 
 _BEST = {"ours": float("inf"), "ref": float("inf"),
-         "ref_par": float("nan")}
+         "ref_par": float("nan"), "pallas_ok": None,
+         "cpu_backend": float("nan")}
+
+
+def check_pallas_parity(reads: str, paf: str) -> bool | None:
+    """Compiled pallas-vs-scatter byte-compare on the smallest eligible
+    bucket shape of the bench workload (VERDICT r2 item 4): a Mosaic/XLA
+    regression now surfaces in every round's BENCH_r*.json instead of on
+    the next manual ``tools/bench_pallas.py`` run. Returns None when no
+    shape qualifies (non-TPU backend)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raft_tpu import bucketing
+    from raft_tpu.engine_jax import derive_cfg, device_step, pack_events
+    from raft_tpu.io.fasta import load_reads
+    from raft_tpu.io.paf import load_paf
+    from raft_tpu.params import AlgoParams
+
+    if jax.default_backend() != "tpu":
+        return None
+    store = load_reads(reads)
+    table = load_paf(paf, store)
+    params = AlgoParams(est_cov=20)
+    lens = store.lens.astype(np.int32)
+    g = table.events_grouped(store.n_reads, lens, params.reso)
+    best = None
+    for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,
+                                     prebinned=g):
+        if bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0 and bk.W >= 256:
+            if best is None or bk.B * bk.W < best.B * best.W:
+                best = bk
+    if best is None:
+        return None
+    bk = best
+    cfg_s = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=False)
+    cfg_p = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=True)
+    args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
+            jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg_s)))
+    ps = np.asarray(device_step(*args, cfg=cfg_s)["packed"])
+    pp = np.asarray(device_step(*args, cfg=cfg_p)["packed"])
+    return bool(np.array_equal(ps, pp))
+
+
+def run_cpu_backend(reads: str, paf: str) -> float:
+    """TPU-vs-own-CPU ablation (VERDICT r2 item 2): the identical
+    pipeline on the host CPU jax backend, in a subprocess so the parent's
+    TPU client is untouched. Returns min wall seconds (NaN on failure)."""
+    try:
+        res = subprocess.run(
+            [sys.executable, "-m", "raft_tpu.tools.bench_cpu",
+             reads, paf, os.path.join(WORK, "ours_cpu"), "2"],
+            capture_output=True, timeout=900, text=True)
+        if res.returncode == 0:
+            return float(res.stdout.strip().splitlines()[-1])
+        print(f"bench: cpu ablation failed: {res.stderr[-500:]}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"bench: cpu ablation failed: {e}", file=sys.stderr)
+    return float("nan")
 
 
 def _emit_json(ours_best: float, ref_reads_per_s: float,
@@ -153,6 +212,13 @@ def _emit_json(ours_best: float, ref_reads_per_s: float,
     n_proc = os.cpu_count() or 1
     out["vs_ideal_scaled_ref"] = round(
         reads_per_s / (ref_reads_per_s * n_proc), 3)
+    if _BEST["pallas_ok"] is not None:
+        out["pallas_ok"] = _BEST["pallas_ok"]
+    cpu_s = _BEST["cpu_backend"]
+    if cpu_s == cpu_s and cpu_s > 0:  # not NaN
+        out["cpu_backend_reads_per_s"] = round(N_READS / cpu_s, 1)
+        if ours_best > 0:
+            out["tpu_vs_cpu_backend"] = round(cpu_s / ours_best, 3)
     if deadline:
         out["deadline"] = True  # warm-up-only timing; degraded tunnel
     print(json.dumps(out), flush=True)
@@ -216,6 +282,19 @@ def main() -> None:
         # driver gets its JSON line even on a degraded TPU tunnel
         if time.perf_counter() - t_rounds > budget:
             break
+
+    # compiled-pallas parity gate (every round, on the real chip)
+    if os.environ.get("RAFT_BENCH_PALLAS_CHECK", "1") != "0":
+        try:
+            _BEST["pallas_ok"] = check_pallas_parity(reads, paf)
+        except Exception as e:
+            print(f"bench: pallas parity check errored: {e}",
+                  file=sys.stderr)
+            _BEST["pallas_ok"] = False
+
+    # TPU-vs-own-CPU ablation (subprocess on the host CPU jax backend)
+    if os.environ.get("RAFT_BENCH_CPU_ABLATION", "1") != "0":
+        _BEST["cpu_backend"] = run_cpu_backend(reads, paf)
 
     # thread-scaled reference baseline (nproc processes, sharded input) —
     # the second baseline BASELINE.md demands; one interleaved run
