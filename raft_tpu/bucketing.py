@@ -87,7 +87,7 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                  min_w: int = 64, max_rows: int = 4096,
                  row_quantum: int = 8, min_rows: int = 256,
                  max_cells: int = 1 << 23, presorted: bool = False,
-                 prebinned=None):
+                 prebinned=None, e_quantum: int = 1):
     """Partition reads into window-count buckets and route each event to
     its read's bucket row. Events arrive sorted or unsorted; routing is
     pure vectorized numpy. A generator: the engine stages/dispatches each
@@ -112,6 +112,11 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
     w1_all [m] int32)`` — events already read-grouped and window-binned
     (the native counting-sort path); skips the sort/searchsorted/binning
     entirely, and ``ev_read/ev_lo/ev_hi`` are ignored (pass None).
+
+    ``e_quantum``: round every bucket's E up to a multiple of this (the
+    Pallas pileup's event-block quantum, ``pileup_pallas.EB``) so the
+    kernel wrapper never pads/concats on device; padded slots cost only
+    their wire bytes (<1% at real event densities).
     """
     n = len(lens)
     nw = -(-lens.astype(np.int64) // reso)  # ceil; len 0 → 0 windows
@@ -163,6 +168,8 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
             max((len(c) for c in full), default=0), lo=row_quantum)
         E_shared = _next_size4(
             max((int(ev_counts[c].sum()) for c in full), default=1), lo=64)
+        if e_quantum > 1:
+            E_shared = -(-E_shared // e_quantum) * e_quantum
         for rids in chunks:
             n_used = len(rids)
             if n_used == rows_cap:
@@ -171,6 +178,8 @@ def iter_buckets(lens: np.ndarray, ev_read: np.ndarray, ev_lo: np.ndarray,
                 B = _next_size(n_used, lo=row_quantum)
                 E = _next_size4(
                     max(int(ev_counts[rids].sum()), 1), lo=64)
+                if e_quantum > 1:
+                    E = -(-E // e_quantum) * e_quantum
             W = int(key)
             blens = np.zeros(B, dtype=np.int32)
             blens[:n_used] = lens[rids]

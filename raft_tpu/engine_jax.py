@@ -86,21 +86,23 @@ def default_cov_out() -> str:
     return os.environ.get("RAFT_COV_OUT", "host")
 
 
+def pallas_default() -> bool:
+    """Auto policy for the Pallas one-hot-matmul pileup (re-measured on
+    chip each round via ``tools/bench_pallas.py``; data in
+    BENCHMARKS.md). Round 3 moved the wrapper ops to the host — tile
+    edges are now a slice of the ev_off table the host already ships and
+    buckets pre-quantize E to the event-block quantum — but the compiled
+    A/B still favors scatter end-to-end at bench densities, so scatter
+    stays the default and ``--pallas`` opts in (useful where scatter
+    serializes: event counts far above bench densities)."""
+    return False
+
+
 def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
                use_pallas: bool | None = None,
                cov_out: str | None = None) -> StaticCfg:
     if use_pallas is None:
-        # Data-driven default (BENCHMARKS.md round-2 on-chip A/B,
-        # tools/bench_pallas.py): the Pallas one-hot-matmul pileup is
-        # byte-equal compiled on TPU across all 12 bench shapes and wins
-        # the ISOLATED kernel timing 4-12% on W >= 256 tiles (loses ~20x
-        # on W=128), but its wrapper ops (tile-edge searchsorted, event
-        # padding/reshape) erase that end-to-end: full-pipeline compute
-        # measured 0.76-0.97 s (pallas) vs 0.68 s (scatter) at 32k reads.
-        # The scatter path therefore stays the default; --pallas opts in
-        # (useful where scatter serializes: event counts far above the
-        # bench densities).
-        use_pallas = False
+        use_pallas = pallas_default()
     reso = params.reso
     il = params.interval_length
     rl = params.repeat_length
@@ -404,7 +406,7 @@ def device_step_impl(lens, ev_off, ev_pk, cfg: StaticCfg):
             and cfg.B % min(128, cfg.B) == 0
             and jax.default_backend() == "tpu"):
         from raft_tpu.ops.pileup_pallas import pileup_pallas
-        cov = pileup_pallas(ev_row, ev_w0, ev_w1, cfg)
+        cov = pileup_pallas(ev_row, ev_w0, ev_w1, cfg, ev_off=ev_off)
         diff = jnp.diff(cov, axis=1, prepend=0)
     else:
         # small buckets fall back to the scatter path (pallas tile limits)
@@ -578,10 +580,16 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     prepared = []
     compiles: dict = {}
     prebinned = (g_off, g_w0, g_w1) if grouped is not None else None
+    # Pallas path: pre-quantize bucket E to the kernel's event-block
+    # quantum so its wrapper never pads on device (host-side wrapper,
+    # VERDICT r2 item 3)
+    want_pallas = use_pallas if use_pallas is not None else pallas_default()
+    e_quantum = 1024 if want_pallas else 1  # == ops.pileup_pallas.EB
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
                                          params.reso, presorted=True,
-                                         prebinned=prebinned):
+                                         prebinned=prebinned,
+                                         e_quantum=e_quantum):
             if n_shards > 1:
                 bk = shard_bucket(bk, n_shards)
             # cfg describes PER-SHARD shapes under shard_map

