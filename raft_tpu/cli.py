@@ -177,6 +177,9 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --stats-json FILE       write machine-readable run stats\n"
                 "  --chunk-reads N         streaming mode: bound memory by\n"
                 "                          processing N reads at a time\n"
+                "                          (auto for inputs over 2 GB —\n"
+                "                          RAFT_AUTO_CHUNK_BYTES tunes,\n"
+                "                          N=0 forces whole-file)\n"
                 "  --spill-paf             with --chunk-reads: spill PAF\n"
                 "                          events to disk per chunk instead\n"
                 "                          of keeping rows resident (auto\n"

@@ -141,7 +141,10 @@ def main(argv=None) -> int:
 
     whole_prefix = os.path.join(args.dir, "out_whole")
     print("== whole-file run ==", file=sys.stderr)
-    result["whole"] = _run_ours(reads, paf, whole_prefix, [],
+    # --chunk-reads 0 pins the true whole-file schedule (inputs this big
+    # would otherwise auto-stream; the A/B needs both paths)
+    result["whole"] = _run_ours(reads, paf, whole_prefix,
+                                ["--chunk-reads", "0"],
                                 os.path.join(args.dir, "whole_stats.json"))
     result["whole"]["reads_per_s"] = round(
         args.reads / result["whole"]["wall_s"], 1)

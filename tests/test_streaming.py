@@ -147,3 +147,39 @@ def test_index_reads_gz_temp_cleanup(tmp_path):
     import gc
     gc.collect()
     assert not os.path.exists(data_path)
+
+
+def test_auto_chunk_at_scale(tmp_path, monkeypatch):
+    """chunk_reads=None auto-streams when inputs exceed
+    RAFT_AUTO_CHUNK_BYTES (SCALE_r03.json: 3.06x at 512k reads), with
+    outputs byte-identical to the forced whole-file run; chunk_reads=0
+    opts out."""
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=901, tmpdir=tmp, n_reads=29)
+    monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "1")  # everything is big
+    st = run_pipeline(reads, paf, _params(tmp, "auto"), engine="jax",
+                      verbose=False)  # chunk_reads=None -> auto
+    assert st.n_reads == 29
+    st0 = run_pipeline(reads, paf, _params(tmp, "forced"), engine="jax",
+                       verbose=False, chunk_reads=0)  # explicit whole-file
+    assert st0.n_reads == 29
+    for ext in OUTS:
+        a = (tmp_path / f"auto{ext}").read_bytes()
+        b = (tmp_path / f"forced{ext}").read_bytes()
+        assert a == b, f"{ext} differs auto-chunk vs whole-file"
+
+
+def test_auto_chunk_gate_thresholds(tmp_path, monkeypatch):
+    """The size gate itself: small inputs stay whole-file, oversize
+    inputs pick the default chunk size, 0 disables."""
+    from raft_tpu.pipeline import DEFAULT_CHUNK_READS, _auto_chunk_reads
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=902, tmpdir=tmp, n_reads=5)
+    monkeypatch.delenv("RAFT_AUTO_CHUNK_BYTES", raising=False)
+    assert _auto_chunk_reads(reads, paf) == 0  # tiny vs 2 GB default
+    monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "1")
+    assert _auto_chunk_reads(reads, paf) == DEFAULT_CHUNK_READS
+    monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "0")
+    assert _auto_chunk_reads(reads, paf) == 0  # explicit disable
+    monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "1")
+    assert _auto_chunk_reads(reads + ".missing", paf) == 0  # stat fails
