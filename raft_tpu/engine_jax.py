@@ -87,14 +87,26 @@ def default_cov_out() -> str:
 
 
 def pallas_default() -> bool:
-    """Auto policy for the Pallas one-hot-matmul pileup (re-measured on
-    chip each round via ``tools/bench_pallas.py``; data in
-    BENCHMARKS.md). Round 3 moved the wrapper ops to the host — tile
-    edges are now a slice of the ev_off table the host already ships and
-    buckets pre-quantize E to the event-block quantum — but the compiled
-    A/B still favors scatter end-to-end at bench densities, so scatter
-    stays the default and ``--pallas`` opts in (useful where scatter
-    serializes: event counts far above bench densities)."""
+    """Global fallback when a caller derives a cfg directly without a
+    bucket-shape decision (``pallas_auto`` is the real policy): scatter.
+    ``--pallas`` / ``--no-pallas`` force the choice globally."""
+    return False
+
+
+def pallas_auto(B: int, W: int) -> bool:
+    """Per-bucket Pallas policy, chosen from the compiled on-chip A/B
+    (``tools/bench_pallas.py``, r3 table in BENCHMARKS.md): with the
+    wrapper on the host, the one-hot-matmul kernel wins on wide,
+    well-filled buckets — W>=1024 from B>=256 (1.4-1.7x), and full
+    W=512 buckets (1.07-1.11x) — and loses on narrow or near-empty
+    shapes where scatter is trivially fast. The alignment terms mirror
+    the kernel's tile constraints (see ops/pileup_pallas.py)."""
+    if W % 128 != 0 or B % min(128, B) != 0:
+        return False
+    if W >= 1024:
+        return B >= 256
+    if W >= 512:
+        return B >= 2048
     return False
 
 
@@ -582,9 +594,10 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     prebinned = (g_off, g_w0, g_w1) if grouped is not None else None
     # Pallas path: pre-quantize bucket E to the kernel's event-block
     # quantum so its wrapper never pads on device (host-side wrapper,
-    # VERDICT r2 item 3)
-    want_pallas = use_pallas if use_pallas is not None else pallas_default()
-    e_quantum = 1024 if want_pallas else 1  # == ops.pileup_pallas.EB
+    # VERDICT r2 item 3). use_pallas=None picks PER BUCKET from the
+    # on-chip A/B policy (pallas_auto); True/False force it globally.
+    auto_pallas = use_pallas is None and jax.default_backend() == "tpu"
+    e_quantum = 1024 if (use_pallas or auto_pallas) else 1  # == pallas EB
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
                                          params.reso, presorted=True,
@@ -592,9 +605,11 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                                          e_quantum=e_quantum):
             if n_shards > 1:
                 bk = shard_bucket(bk, n_shards)
+            bk_pallas = (pallas_auto(bk.B // n_shards, bk.W)
+                         if auto_pallas else use_pallas)
             # cfg describes PER-SHARD shapes under shard_map
             cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards,
-                             params, use_pallas=use_pallas, cov_out=cov_out)
+                             params, use_pallas=bk_pallas, cov_out=cov_out)
             args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
                     jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg)))
             key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
