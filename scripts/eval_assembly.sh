@@ -23,6 +23,16 @@ run_metric() {  # run_metric NAME CMD... — records ran/failed
   else STATUS[$name]=failed; failed=$((failed+1)); fi
 }
 
+# contiguity stats: pure-python, always available (N50/L50 + NG50/LG50
+# against the reference's total length) — guarantees at least one metric
+# genuinely runs in tool-free environments
+REPO_ROOT=$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)
+if command -v python3 >/dev/null; then
+  run_metric asm_stats bash -c \
+    'PYTHONPATH="$1:${PYTHONPATH:-}" python3 -m raft_tpu.tools.asm_stats "$2" -r "$3" > asm_stats.json' \
+    _ "$REPO_ROOT" "$ASM" "$REF"
+else STATUS[asm_stats]=skipped; fi
+
 # quast: NG50 / misassemblies (ref: bash_scripts/quast_pri.sh)
 if command -v quast.py >/dev/null; then
   run_metric quast quast.py --large --min-identity 80 -t 16 -r "$REF" \
@@ -59,7 +69,7 @@ else STATUS[asmgene]=skipped; fi
 # machine-readable summary (one JSON line) + human echo
 printf '{'
 first=1
-for m in quast yak_qv switch_error nga50 asmgene; do
+for m in asm_stats quast yak_qv switch_error nga50 asmgene; do
   [ $first -eq 0 ] && printf ', '
   printf '"%s": "%s"' "$m" "${STATUS[$m]}"
   first=0
