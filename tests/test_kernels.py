@@ -240,3 +240,20 @@ def test_rows_from_offsets_matches_ev_row(seed):
         cfg = derive_cfg(bk.B, bk.W, bk.E, AlgoParams(est_cov=5))
         got = np.asarray(rows_from_offsets(jnp.asarray(bk.ev_off), cfg))
         np.testing.assert_array_equal(got, bk.ev_row.astype(np.int32))
+
+
+def test_pallas_auto_policy_table():
+    """pallas_auto encodes the r3 on-chip A/B (BENCHMARKS.md): wide
+    well-filled buckets take the MXU kernel, narrow/near-empty shapes
+    scatter. Pure function — decision table pinned here so an accidental
+    threshold edit is visible."""
+    from raft_tpu.engine_jax import pallas_auto
+    assert pallas_auto(4096, 1024)      # 1.4-1.7x measured
+    assert pallas_auto(384, 1024)       # 1.43x
+    assert pallas_auto(256, 2048)
+    assert pallas_auto(4096, 512)       # 1.07-1.11x
+    assert not pallas_auto(384, 512)    # 0.66x
+    assert not pallas_auto(3072, 256)   # 0.98x
+    assert not pallas_auto(512, 128)    # scatter trivially fast
+    assert not pallas_auto(8, 2048)     # 0.61x (near-empty)
+    assert not pallas_auto(4096, 500)   # misaligned W
