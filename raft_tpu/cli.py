@@ -102,7 +102,7 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     """Parse reference-surface args; returns (params, reads, paf, extras)."""
     params = AlgoParams()
     extras = {"engine": "jax", "strict": True, "use_native": None,
-              "profile": False, "pallas": False, "stats_json": None,
+              "profile": False, "pallas": None, "stats_json": None,
               "chunk_reads": None, "devices": None, "spill_paf": None,
               "gz_out": False, "cov_out": None, "trace": None}
 
@@ -127,6 +127,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             extras["profile"] = True
         elif a == "--pallas":
             extras["pallas"] = True
+        elif a == "--no-pallas":
+            extras["pallas"] = False
         elif a == "--stats-json":
             extras["stats_json"] = argv[i + 1]
             skip = True
@@ -165,7 +167,9 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             print(
                 "\nraft_tpu extensions (not part of the reference surface):\n"
                 "  --engine {jax,oracle}   compute engine (default jax)\n"
-                "  --pallas                use the Pallas MXU pileup kernel\n"
+                "  --pallas / --no-pallas  force the Pallas MXU pileup\n"
+                "                          kernel on/off (default: per-\n"
+                "                          bucket auto policy on TPU)\n"
                 "  --no-strict             drop out-of-bounds/unknown-read\n"
                 "                          PAF rows instead of erroring\n"
                 "  --pure-python-io        disable the native C++ I/O library\n"

@@ -237,8 +237,12 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         if st is not None:
             return st
         if verbose:
+            # stderr: stdout must stay line-identical to the reference,
+            # and the auto-chunk gate can reach this without the user
+            # ever asking for streaming
+            import sys as _sys
             print("INFO, streaming mode unavailable for this input; "
-                  "running whole-file")
+                  "running whole-file", file=_sys.stderr)
     params.validate()
     _validate_inputs(read_path, paf_path)
     stats = RunStats()
