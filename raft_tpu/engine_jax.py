@@ -589,7 +589,6 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     # tunnel RPC latency without thrashing the compile server — 8-way was
     # measured slower than serial on the tunneled terminal).
     workers = max(1, int(os.environ.get("RAFT_COMPILE_WORKERS", "2")))
-    prepared = []
     compiles: dict = {}
     prebinned = (g_off, g_w0, g_w1) if grouped is not None else None
     # Pallas path: pre-quantize bucket E to the kernel's event-block
@@ -598,6 +597,28 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     # on-chip A/B policy (pallas_auto); True/False force it globally.
     auto_pallas = use_pallas is None and jax.default_backend() == "tpu"
     e_quantum = 1024 if (use_pallas or auto_pallas) else 1  # == pallas EB
+
+    fetch_workers = max(1, int(os.environ.get("RAFT_FETCH_WORKERS", "4")))
+    io_pool = cf.ThreadPoolExecutor(max_workers=fetch_workers)
+    roundtrips: list = []
+
+    def _roundtrip(bk, cfg, args, key):
+        compiles[key].result()  # jit cache shared → dispatch is cheap
+        out = step(*args, cfg=cfg)
+        out = jax.device_get(out)
+        out = {**unpack_out(np.asarray(out.pop("packed")), cfg), **out}
+        if "diff8" in out:
+            cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
+            bad = np.nonzero(~out["ok8"])[0]
+            if len(bad):
+                # rare: a window gained/lost >127 intervals, so the
+                # int8 diff wrapped for these rows — rebuild exactly
+                # on host from the bucket's own events (no second
+                # device round trip, cost bounded per bad row)
+                _host_cov_rows(bk, n_shards, bad, cov)
+            out["cov"] = cov
+        return bk, out
+
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
                                          params.reso, presorted=True,
@@ -616,42 +637,20 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
             if key not in compiles:
                 compiles[key] = pool.submit(
                     lambda c=cfg, a=args: step.lower(*a, cfg=c).compile())
-            prepared.append((bk, cfg, args, key))
+            # the full device roundtrip (await compile → dispatch →
+            # device_get → host post-process) is submitted PER BUCKET the
+            # moment it is staged, so exec+D2H overlap the remaining
+            # bucket routing, concurrent roundtrips overlap each other's
+            # link latency (fetch ≈ exec time on tunneled links — see
+            # BENCHMARKS "Fetch-tail decomposition"), and in cold
+            # processes the per-executable first-fetch program loads
+            # overlap across shapes instead of serializing
+            roundtrips.append(io_pool.submit(_roundtrip, bk, cfg, args,
+                                             key))
         _mark("bucket_prep")
 
-        outs = []
-        for bk, cfg, args, key in prepared:
-            compiles[key].result()  # jit cache shared → dispatch is cheap
-            out = step(*args, cfg=cfg)
-            outs.append((bk, cfg, args, out))
-        _mark("dispatch")
-
-    # fetch in worker threads: each device_get is a synchronous RPC round
-    # trip on tunneled links (~24 ms floor regardless of size, measured),
-    # so CONCURRENT gets overlap the latency; ex.map preserves bucket
-    # order for integration
-
-    def _fetch(item):
-        bk, cfg, args, out = item
-        return bk, cfg, args, jax.device_get(out)
-
-    fetch_workers = max(1, int(os.environ.get("RAFT_FETCH_WORKERS", "4")))
-    fetched = []
-    with cf.ThreadPoolExecutor(max_workers=fetch_workers) as ex:
-        for bk, cfg, args, out in ex.map(_fetch, outs):
-            out = {**unpack_out(np.asarray(out.pop("packed")), cfg), **out}
-            if "diff8" in out:
-                cov = np.cumsum(out.pop("diff8"), axis=1, dtype=np.int32)
-                bad = np.nonzero(~out["ok8"])[0]
-                if len(bad):
-                    # rare: a window gained/lost >127 intervals, so the
-                    # int8 diff wrapped for these rows — rebuild exactly
-                    # on host from the bucket's own events (no second
-                    # device round trip, cost bounded per bad row)
-                    _host_cov_rows(bk, n_shards, bad, cov)
-                out["cov"] = cov
-            fetched.append((bk, out))
-    outs = fetched
+    outs = [f.result() for f in roundtrips]
+    io_pool.shutdown()
     _mark("fetch")
 
     # global offsets in read-id order
