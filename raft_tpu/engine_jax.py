@@ -619,38 +619,41 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
             out["cov"] = cov
         return bk, out
 
-    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
-                                         params.reso, presorted=True,
-                                         prebinned=prebinned,
-                                         e_quantum=e_quantum):
-            if n_shards > 1:
-                bk = shard_bucket(bk, n_shards)
-            bk_pallas = (pallas_auto(bk.B // n_shards, bk.W)
-                         if auto_pallas else use_pallas)
-            # cfg describes PER-SHARD shapes under shard_map
-            cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards,
-                             params, use_pallas=bk_pallas, cov_out=cov_out)
-            args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
-                    jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg)))
-            key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
-            if key not in compiles:
-                compiles[key] = pool.submit(
-                    lambda c=cfg, a=args: step.lower(*a, cfg=c).compile())
-            # the full device roundtrip (await compile → dispatch →
-            # device_get → host post-process) is submitted PER BUCKET the
-            # moment it is staged, so exec+D2H overlap the remaining
-            # bucket routing, concurrent roundtrips overlap each other's
-            # link latency (fetch ≈ exec time on tunneled links — see
-            # BENCHMARKS "Fetch-tail decomposition"), and in cold
-            # processes the per-executable first-fetch program loads
-            # overlap across shapes instead of serializing
-            roundtrips.append(io_pool.submit(_roundtrip, bk, cfg, args,
-                                             key))
-        _mark("bucket_prep")
+    try:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            for bk in bucketing.iter_buckets(lens, ev_read, ev_lo, ev_hi,
+                                             params.reso, presorted=True,
+                                             prebinned=prebinned,
+                                             e_quantum=e_quantum):
+                if n_shards > 1:
+                    bk = shard_bucket(bk, n_shards)
+                bk_pallas = (pallas_auto(bk.B // n_shards, bk.W)
+                             if auto_pallas else use_pallas)
+                # cfg describes PER-SHARD shapes under shard_map
+                cfg = derive_cfg(bk.B // n_shards, bk.W, bk.E // n_shards,
+                                 params, use_pallas=bk_pallas,
+                                 cov_out=cov_out)
+                args = (jnp.asarray(bk.lens), jnp.asarray(bk.ev_off),
+                        jnp.asarray(pack_events(bk.ev_w0, bk.ev_w1, cfg)))
+                key = (cfg,) + tuple((a.shape, a.dtype.name) for a in args)
+                if key not in compiles:
+                    compiles[key] = pool.submit(
+                        lambda c=cfg, a=args: step.lower(*a, cfg=c).compile())
+                # the full device roundtrip (await compile → dispatch →
+                # device_get → host post-process) is submitted PER BUCKET
+                # the moment it is staged, so exec+D2H overlap the
+                # remaining bucket routing, concurrent roundtrips overlap
+                # each other's link latency (fetch ≈ exec time on tunneled
+                # links — see BENCHMARKS "Fetch-tail decomposition"), and
+                # in cold processes the per-executable first-fetch program
+                # loads overlap across shapes instead of serializing
+                roundtrips.append(io_pool.submit(_roundtrip, bk, cfg,
+                                                 args, key))
+            _mark("bucket_prep")
 
-    outs = [f.result() for f in roundtrips]
-    io_pool.shutdown()
+        outs = [f.result() for f in roundtrips]
+    finally:
+        io_pool.shutdown(wait=False, cancel_futures=True)
     _mark("fetch")
 
     # global offsets in read-id order
