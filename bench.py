@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 import time
@@ -37,16 +36,8 @@ ARGS = ["-e", "20", "-m", "1.5", "-p", "10000", "-l", "20000",
 
 
 def build_reference() -> str | None:
-    out = os.path.join(WORK, "raft_ref")
-    if os.path.exists(out):
-        return out
-    if not shutil.which("g++") or not os.path.exists(REF_DIR):
-        return None
-    res = subprocess.run(
-        ["g++", "-O3", "-std=c++14", "-I", REF_DIR,
-         os.path.join(REF_DIR, "main.cpp"), "-lz", "-o", out],
-        capture_output=True)
-    return out if res.returncode == 0 else None
+    from raft_tpu.tools.refbuild import build_reference as _build
+    return _build(WORK)
 
 
 def run_reference_once(ref_bin: str, reads: str, paf: str) -> float:
@@ -127,11 +118,12 @@ _BEST = {"ours": float("inf"), "ref": float("inf"),
 
 
 def check_pallas_parity(reads: str, paf: str) -> bool | None:
-    """Compiled pallas-vs-scatter byte-compare on the smallest eligible
-    bucket shape of the bench workload (VERDICT r2 item 4): a Mosaic/XLA
-    regression now surfaces in every round's BENCH_r*.json instead of on
-    the next manual ``tools/bench_pallas.py`` run. Returns None when no
-    shape qualifies (non-TPU backend)."""
+    """Compiled pallas-vs-scatter byte-compare on the LARGEST bucket
+    shape the production auto policy (``pallas_auto``) actually routes
+    to the kernel (VERDICT r2 item 4): a Mosaic/XLA regression now
+    surfaces in every round's BENCH_r*.json instead of on the next
+    manual ``tools/bench_pallas.py`` run. Returns None when nothing
+    qualifies (non-TPU backend / native lib unavailable)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -148,11 +140,18 @@ def check_pallas_parity(reads: str, paf: str) -> bool | None:
     params = AlgoParams(est_cov=20)
     lens = store.lens.astype(np.int32)
     g = table.events_grouped(store.n_reads, lens, params.reso)
+    if g is None:
+        return None  # native lib unavailable: check skipped, not failed
+    from raft_tpu.engine_jax import pallas_auto
     best = None
     for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,
                                      prebinned=g):
-        if bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0 and bk.W >= 256:
-            if best is None or bk.B * bk.W < best.B * best.W:
+        # gate the shapes PRODUCTION actually routes to the kernel
+        # (pallas_auto); among them pick the largest area — a Mosaic/XLA
+        # regression on the small never-used shapes is not what this
+        # gate exists to catch
+        if pallas_auto(bk.B, bk.W):
+            if best is None or bk.B * bk.W > best.B * best.W:
                 best = bk
     if best is None:
         return None

@@ -596,7 +596,10 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     # VERDICT r2 item 3). use_pallas=None picks PER BUCKET from the
     # on-chip A/B policy (pallas_auto); True/False force it globally.
     auto_pallas = use_pallas is None and jax.default_backend() == "tpu"
-    e_quantum = 1024 if (use_pallas or auto_pallas) else 1  # == pallas EB
+    if use_pallas or auto_pallas:
+        from raft_tpu.ops.pileup_pallas import EB as e_quantum
+    else:
+        e_quantum = 1
 
     fetch_workers = max(1, int(os.environ.get("RAFT_FETCH_WORKERS", "4")))
     io_pool = cf.ThreadPoolExecutor(max_workers=fetch_workers)

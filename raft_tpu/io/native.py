@@ -618,6 +618,32 @@ def _seq_ptr(lib, store):
     return C.cast(C.c_char_p(blob), C.c_void_p)
 
 
+def _append_base(path: str, append: bool):
+    """Pre-call file length, recorded only in append mode (for
+    ``_restore_on_fail``)."""
+    if not append:
+        return None
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _restore_on_fail(rc: int, path: str, base_size) -> bool:
+    """Shared failure recovery for ALL five native emitters (each goes
+    through ``emit_sharded``, raftio.cpp parallel-emit failure path):
+    rc=-1 means the C++ side already restored the pre-call length;
+    rc=-2 means that restore itself failed and partial shard bytes
+    remain in the file — truncate here so a caller's append-mode
+    fallback writer continues from clean pre-call state either way."""
+    if rc != 0 and base_size is not None:
+        try:
+            os.truncate(path, base_size)
+        except OSError:
+            pass
+    return rc == 0
+
+
 def emit_frags_full(path: str, store, res, first_read_num: int = 1,
                     append: bool = False, gz: bool = False) -> bool:
     """Native fragment-FASTA writer with in-C++ header rendering."""
@@ -644,12 +670,7 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
         ao_ptr = align_off.ctypes.data
         so_ptr = suffix_off.ctypes.data
 
-    base_size = None
-    if append:
-        try:
-            base_size = os.path.getsize(path)
-        except OSError:
-            base_size = 0
+    base_size = _append_base(path, append)
     rc = lib.raftio_emit_frags_full(
         path.encode(), _seq_ptr(lib, store), seq_off,
         res.n_frags,
@@ -661,16 +682,7 @@ def emit_frags_full(path: str, store, res, first_read_num: int = 1,
         ac_ptr, sp_ptr, ep_ptr,
         align_blob, ao_ptr, suffix_blob, so_ptr, first_read_num,
         int(append), int(gz))
-    if rc != 0 and base_size is not None:
-        # The native emitter restores the original length itself (rc=-1);
-        # rc=-2 means that restore failed and the file still carries
-        # partial shard bytes — truncate here so the caller's fallback
-        # append continues from clean pre-call state either way.
-        try:
-            os.truncate(path, base_size)
-        except OSError:
-            pass
-    return rc == 0
+    return _restore_on_fail(rc, path, base_size)
 
 
 def _sim_blobs(store):
@@ -716,11 +728,12 @@ def emit_bed(path: str, store, res, append: bool = False,
     if lib is None:
         return False
     ze = np.empty(0, dtype=np.int32)
+    base_size = _append_base(path, append)
     if store.real_reads:
         rc = lib.raftio_emit_bed(
             path.encode(), ze, ze, np.zeros(1, dtype=np.int64), 0,
             None, None, None, None, None, int(append), int(gz))
-        return rc == 0
+        return _restore_on_fail(rc, path, base_size)
     if not attach_sim_meta(store):
         return False
     m = store._sim_native
@@ -735,7 +748,7 @@ def emit_bed(path: str, store, res, append: bool = False,
         m["align_code"].ctypes.data, start.ctypes.data, end.ctypes.data,
         C.cast(C.c_char_p(m["chrom_blob"]), C.c_void_p),
         m["chrom_off"].ctypes.data, int(append), int(gz))
-    return rc == 0
+    return _restore_on_fail(rc, path, base_size)
 
 
 def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
@@ -745,11 +758,12 @@ def emit_coverage(path: str, cov_flat: np.ndarray, cov_off: np.ndarray,
     lib = _get_lib()
     if lib is None:
         return False
+    base_size = _append_base(path, append)
     rc = lib.raftio_emit_coverage(
         path.encode(), np.ascontiguousarray(cov_flat, dtype=np.int32),
         np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
         first_read_index, int(append), int(gz))
-    return rc == 0
+    return _restore_on_fail(rc, path, base_size)
 
 
 def emit_coverage_events(path: str, w0: np.ndarray, w1: np.ndarray,
@@ -762,13 +776,14 @@ def emit_coverage_events(path: str, w0: np.ndarray, w1: np.ndarray,
     lib = _get_lib()
     if lib is None:
         return False
+    base_size = _append_base(path, append)
     rc = lib.raftio_emit_coverage_events(
         path.encode(), np.ascontiguousarray(w0, dtype=np.int32),
         np.ascontiguousarray(w1, dtype=np.int32),
         np.ascontiguousarray(ev_off, dtype=np.int64),
         np.ascontiguousarray(cov_off, dtype=np.int64), n_reads, reso,
         first_read_index, int(append), int(gz))
-    return rc == 0
+    return _restore_on_fail(rc, path, base_size)
 
 
 def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
@@ -778,9 +793,10 @@ def emit_repeats(path: str, rep_s: np.ndarray, rep_e: np.ndarray,
     lib = _get_lib()
     if lib is None:
         return False
+    base_size = _append_base(path, append)
     rc = lib.raftio_emit_repeats(
         path.encode(), np.ascontiguousarray(rep_s, dtype=np.int32),
         np.ascontiguousarray(rep_e, dtype=np.int32),
         np.ascontiguousarray(rep_off, dtype=np.int64), n_reads,
         first_read_index, int(append), int(gz))
-    return rc == 0
+    return _restore_on_fail(rc, path, base_size)

@@ -221,7 +221,10 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     transfer floor. Pass ``chunk_reads=0`` (CLI ``--chunk-reads 0``) to
     force whole-file.
     """
-    if chunk_reads is None:
+    if chunk_reads is None and engine == "jax" and use_native is not False:
+        # the chunked schedule always runs the jax engine + native I/O;
+        # explicit oracle-engine or pure-python-I/O runs must not be
+        # silently rerouted through the code paths they exist to bypass
         chunk_reads = _auto_chunk_reads(read_path, paf_path)
         if chunk_reads and verbose:
             import sys as _sys

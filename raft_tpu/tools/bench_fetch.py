@@ -91,6 +91,9 @@ def main(argv=None) -> int:
     params = AlgoParams(est_cov=20)
     lens = store.lens.astype(np.int32)
     g = table.events_grouped(store.n_reads, lens, params.reso)
+    if g is None:
+        print(json.dumps({"error": "no native grouped events"}))
+        return 1
     prepared = []
     d2h_bytes = 0
     for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,

@@ -37,7 +37,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import subprocess
 import sys
 import time
@@ -102,17 +101,8 @@ def _cmp(a_prefix: str, b_prefix: str) -> dict:
 
 
 def build_reference(work: str) -> str | None:
-    ref_dir = "/root/reference"
-    out = os.path.join(work, "raft_ref")
-    if os.path.exists(out):
-        return out
-    if not shutil.which("g++") or not os.path.exists(ref_dir):
-        return None
-    res = subprocess.run(
-        ["g++", "-O3", "-std=c++14", "-I", ref_dir,
-         os.path.join(ref_dir, "main.cpp"), "-lz", "-o", out],
-        capture_output=True)
-    return out if res.returncode == 0 else None
+    from raft_tpu.tools.refbuild import build_reference as _build
+    return _build(work)
 
 
 def main(argv=None) -> int:

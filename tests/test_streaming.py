@@ -183,3 +183,30 @@ def test_auto_chunk_gate_thresholds(tmp_path, monkeypatch):
     assert _auto_chunk_reads(reads, paf) == 0  # explicit disable
     monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "1")
     assert _auto_chunk_reads(reads + ".missing", paf) == 0  # stat fails
+
+
+def test_auto_chunk_respects_engine_and_io_choice(tmp_path, monkeypatch):
+    """Explicit --engine oracle / --pure-python-io runs must never be
+    silently rerouted through the chunked schedule (which always uses
+    the jax engine + native I/O) by the size gate."""
+    from raft_tpu import pipeline as pl
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=903, tmpdir=tmp, n_reads=17)
+    monkeypatch.setenv("RAFT_AUTO_CHUNK_BYTES", "1")
+    called = []
+    orig = pl._run_pipeline_chunked
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "_run_pipeline_chunked", spy)
+    pl.run_pipeline(reads, paf, _params(tmp, "orc"), engine="oracle",
+                    verbose=False)
+    assert not called, "oracle engine was rerouted through chunked"
+    pl.run_pipeline(reads, paf, _params(tmp, "pp"), engine="jax",
+                    use_native=False, verbose=False)
+    assert not called, "pure-python-io was rerouted through chunked"
+    pl.run_pipeline(reads, paf, _params(tmp, "jx"), engine="jax",
+                    verbose=False)
+    assert called, "jax+native run should auto-chunk under the tiny gate"
