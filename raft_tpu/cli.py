@@ -187,7 +187,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --spill-paf             with --chunk-reads: spill PAF\n"
                 "                          events to disk per chunk instead\n"
                 "                          of keeping rows resident (auto\n"
-                "                          for PAF files over 2 GiB)\n"
+                "                          when the PAF would pressure RAM:\n"
+                "                          > max(2 GiB, 15% of memory))\n"
                 "  --devices N             shard_map data parallelism over\n"
                 "                          the first N local devices\n"
                 "  --gz-out                write outputs BGZF-compressed\n"

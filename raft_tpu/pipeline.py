@@ -209,7 +209,9 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
     ``spill_paf``: in streaming mode, additionally bound *overlap* memory:
     a native two-pass PAF parse spills per-chunk coverage events to disk
     instead of keeping the row columns resident (~24 B/row). ``None``
-    auto-enables for PAF files over 2 GiB.
+    auto-enables for PAF files over max(2 GiB, 15% of host RAM) — the
+    spill costs a second disk pass, so it only fires when keeping the
+    columns resident would actually pressure memory.
 
     ``chunk_reads=None`` (the default) auto-streams at scale: inputs over
     ``RAFT_AUTO_CHUNK_BYTES`` (default 2 GB, 0 disables) switch to the
@@ -370,7 +372,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     tests/test_streaming.py). Returns None when the input cannot be
     indexed (native library unavailable) so the caller falls back.
 
-    With ``spill_paf`` (default: auto for PAF > 2 GiB) the overlap table
+    With ``spill_paf`` (default: auto for PAF > max(2 GiB, 15% of RAM))
+    the overlap table
     is never resident either: a native two-pass parse writes per-chunk
     coverage events to spill files read back one chunk at a time.
     """
@@ -391,7 +394,20 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         print(f"Real Reads {int(idx['real_reads'])} ")
 
     if spill_paf is None:
-        spill_paf = os.path.getsize(paf_path) > (2 << 30)
+        # Auto policy, RAM-aware: spilling exists to bound overlap-column
+        # memory (~24 B/row resident without it), but it costs a second
+        # disk pass (~25 s of the 512k benchmark when it fires
+        # needlessly). Spill only when the PAF is both large in absolute
+        # terms (> 2 GiB) AND large relative to this host's RAM (> 15% —
+        # columns resident are ~1/4 of the text size, so 15% of RAM in
+        # text is ~4% in columns: comfortably safe to keep resident
+        # below that). --spill-paf / --no-spill-paf always win.
+        paf_bytes = os.path.getsize(paf_path)
+        try:
+            ram = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            ram = 0
+        spill_paf = paf_bytes > max(2 << 30, int(ram * 0.15))
 
     bins = None
     table = None
