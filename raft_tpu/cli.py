@@ -264,6 +264,13 @@ def main(argv: list[str] | None = None) -> int:
         from raft_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(extras["devices"])
     from raft_tpu import profiling
+    try:
+        params.validate()
+    except ValueError as e:
+        # parameter rejections (incl. reference-UB domains, PARITY.md
+        # "Deliberate divergences") are user errors, not tracebacks
+        print(f"ERROR, {e}", file=sys.stderr)
+        return 1
     with profiling.trace(extras["trace"]):
         stats = run_pipeline(reads_path, paf_path, params,
                              engine=extras["engine"], strict=extras["strict"],

@@ -65,6 +65,19 @@ class AlgoParams:
                 f"got -l {self.read_length} < -p {self.interval_length}")
         if self.overlap_length < 0 or self.flanking_length < 0:
             raise ValueError("overlap (-v) and flanking (-f) must be >= 0")
+        if self.overlap_length > self.interval_length:
+            # Reference UB: fragment j>=2 starts at marker - overlap
+            # (chop.hpp:318 ``read_seq.substr(final_stars[pos] -
+            # overlap_length, ...)``); markers are multiples of
+            # interval_length, so overlap > interval underflows size_t
+            # and the reference dies with std::out_of_range on any
+            # fragmented read (found by differential fuzzing, seed 105).
+            # We reject the parameter combination up front instead.
+            raise ValueError(
+                "overlap_length (-v) must be <= interval_length (-p): "
+                f"got -v {self.overlap_length} > -p {self.interval_length} "
+                "(the reference crashes on any read that fragments under "
+                "these parameters)")
 
     def replace(self, **kw) -> "AlgoParams":
         return dataclasses.replace(self, **kw)

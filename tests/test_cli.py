@@ -188,3 +188,16 @@ def test_cov_out_cli_modes(tmp_path):
         outs[mode] = (tmp_path / f"{mode}.coverage.txt").read_bytes()
         assert (tmp_path / f"{mode}.reads.fasta").exists()
     assert outs["host"] == outs["diff8"] == outs["cov"]
+
+
+def test_overlap_greater_than_interval_rejected(tmp_path):
+    """-v > -p is reference UB (chop.hpp:318 substr underflow crashes it
+    on any fragmented read; PARITY.md divergence 7) — we error up front
+    with a message naming both flags."""
+    import datagen
+    from raft_tpu.params import AlgoParams
+    tmp = str(tmp_path)
+    datagen.standard_case(seed=5, tmpdir=tmp, n_reads=5)
+    with pytest.raises(ValueError, match=r"-v.*<=.*-p|overlap_length"):
+        AlgoParams(est_cov=10, overlap_length=1000,
+                   interval_length=500, repeat_length=500).validate()

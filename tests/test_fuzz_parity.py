@@ -45,7 +45,12 @@ def test_fuzz_parity(tmp_path, ref_binary, seed):
             "-p", str(p),
             "-l", str(p * l_mult + rng.randint(0, p - 1)),
             "-f", str(rng.choice([0, 17, 300, 5000])),
-            "-v", str(rng.choice([0, 3, 200, 1000]))]
+            # -v must stay <= -p: the reference crashes outright on
+            # overlap > interval (substr underflow, chop.hpp:318; we
+            # reject it in validation — PARITY.md divergence 7), so the
+            # differential domain is overlap <= interval
+            "-v", str(rng.choice([v for v in (0, 3, 200, 1000)
+                                  if v <= p]))]
     ref_prefix = f"{tmp}/ref"
     our_prefix = f"{tmp}/ours"
     run_reference(ref_binary, args + ["-o", ref_prefix, reads, paf], tmp)
