@@ -10,7 +10,10 @@ single-thread figure if g++ is unavailable).
 
 Noise control: the workdir is tmpfs when available, and reference/ours
 timings are INTERLEAVED over several rounds (min of each) so machine
-drift hits both sides equally.
+drift hits both sides equally. The JSON carries the full per-round time
+arrays (ours/ref/ref-parallel), round count, and the workdir kind so a
+round-over-round comparison can tell VM steal from real regression
+(VERDICT r3 item 2).
 
 Prints ONE JSON line:
   {"metric": "reads_per_s", "value": N, "unit": "reads/s", "vs_baseline": R}
@@ -114,7 +117,11 @@ def run_reference_parallel(ref_bin: str, reads: str, paf: str) -> float:
 
 _BEST = {"ours": float("inf"), "ref": float("inf"),
          "ref_par": float("nan"), "pallas_ok": None,
-         "cpu_backend": float("nan")}
+         "cpu_backend": float("nan"),
+         # per-round wall arrays (drift forensics, VERDICT r3 item 2):
+         # warm-up excluded from ours_rounds (it carries program-load)
+         "warmup_s": float("nan"), "ours_rounds": [], "ref_rounds": [],
+         "ref_par_rounds": []}
 
 
 def check_pallas_parity(reads: str, paf: str) -> bool | None:
@@ -144,6 +151,7 @@ def check_pallas_parity(reads: str, paf: str) -> bool | None:
         return None  # native lib unavailable: check skipped, not failed
     from raft_tpu.engine_jax import pallas_auto
     best = None
+    kernel_capable = None
     for bk in bucketing.iter_buckets(lens, None, None, None, params.reso,
                                      prebinned=g):
         # gate the shapes PRODUCTION actually routes to the kernel
@@ -153,8 +161,22 @@ def check_pallas_parity(reads: str, paf: str) -> bool | None:
         if pallas_auto(bk.B, bk.W):
             if best is None or bk.B * bk.W > best.B * best.W:
                 best = bk
+        elif (bk.W % 128 == 0 and bk.B % min(128, bk.B) == 0
+              and bk.W % min(512, bk.W) == 0):
+            # kernel CAN compile this shape even though the auto policy
+            # would not route it — fallback so the Mosaic regression gate
+            # never silently vanishes from BENCH_r*.json when bench
+            # densities stop producing policy-eligible shapes
+            if (kernel_capable is None
+                    or bk.B * bk.W > kernel_capable.B * kernel_capable.W):
+                kernel_capable = bk
     if best is None:
-        return None
+        best = kernel_capable
+    if best is None:
+        # on TPU, native lib present, yet NO kernel-compilable bucket:
+        # make the gate's absence visible instead of looking like
+        # "not on TPU" (ADVICE r3 item 2)
+        return "no_eligible_shape"
     bk = best
     cfg_s = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=False)
     cfg_p = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=True)
@@ -220,6 +242,19 @@ def _emit_json(ours_best: float, ref_reads_per_s: float,
             out["tpu_vs_cpu_backend"] = round(cpu_s / ours_best, 3)
     if deadline:
         out["deadline"] = True  # warm-up-only timing; degraded tunnel
+    # drift forensics: full per-round arrays + environment, so the next
+    # round can separate VM steal from regression without rerunning
+    out["rounds"] = len(_BEST["ours_rounds"])
+    out["ours_rounds_s"] = [round(t, 3) for t in _BEST["ours_rounds"]]
+    out["ref_rounds_s"] = [round(t, 3) for t in _BEST["ref_rounds"]]
+    if _BEST["ref_par_rounds"]:
+        out["ref_par_rounds_s"] = [round(t, 3)
+                                   for t in _BEST["ref_par_rounds"]]
+    w = _BEST["warmup_s"]
+    if w == w:
+        out["warmup_s"] = round(w, 3)
+    out["workdir"] = "tmpfs" if WORK.startswith("/dev/shm") else "disk"
+    out["n_reads"] = N_READS
     print(json.dumps(out), flush=True)
 
 
@@ -259,6 +294,7 @@ def main() -> None:
     t0 = time.perf_counter()
     st = run_pipeline(reads, paf, params, engine="jax", verbose=False)
     _BEST["ours"] = time.perf_counter() - t0
+    _BEST["warmup_s"] = _BEST["ours"]
 
     ref_bin = build_reference()
     ref_best = float("inf")
@@ -268,11 +304,15 @@ def main() -> None:
     t_rounds = time.perf_counter()
     for rnd in range(ROUNDS):
         if ref_bin:
-            ref_best = min(ref_best, run_reference_once(ref_bin, reads, paf))
+            ref_dt = run_reference_once(ref_bin, reads, paf)
+            if ref_dt == ref_dt:
+                _BEST["ref_rounds"].append(ref_dt)
+            ref_best = min(ref_best, ref_dt)
             _BEST["ref"] = ref_best
         t0 = time.perf_counter()
         st = run_pipeline(reads, paf, params, engine="jax", verbose=False)
         dt = time.perf_counter() - t0
+        _BEST["ours_rounds"].append(dt)
         if dt < ours_best:
             ours_best = dt
             best_stages = dict(st.stage_seconds)
@@ -302,6 +342,7 @@ def main() -> None:
             # best-of-2: single runs swing with VM CPU steal
             r1 = run_reference_parallel(ref_bin, reads, paf)
             r2 = run_reference_parallel(ref_bin, reads, paf)
+            _BEST["ref_par_rounds"] = [x for x in (r1, r2) if x == x]
             _BEST["ref_par"] = min(x for x in (r1, r2) if x == x) \
                 if (r1 == r1 or r2 == r2) else float("nan")
         except Exception as e:

@@ -13,9 +13,11 @@ default compat mode (SURVEY.md §5 "Config/flag system"):
 * integer flags use C ``atoi`` (leading digits, 0 on garbage); ``-m`` uses
   ``std::stod``.
 
-Extra (new, TPU-rebuild-only) long options are accepted after ``--``-style
-separation from the reference surface: ``--engine {jax,oracle}``,
-``--no-strict``, ``--pure-python-io``, ``--profile``.
+Extra (new, TPU-rebuild-only) long options — ``--engine {jax,oracle}``,
+``--no-strict``, ``--pure-python-io``, ``--profile``, … — are recognized
+and stripped anywhere in argv (a pre-pass removes them before the
+getopt-compatible scan), so they may be freely interleaved with the
+reference's short flags.
 """
 
 from __future__ import annotations

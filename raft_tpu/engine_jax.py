@@ -100,8 +100,11 @@ def pallas_auto(B: int, W: int) -> bool:
     well-filled buckets — W>=1024 from B>=256 (1.4-1.7x), and full
     W=512 buckets (1.07-1.11x) — and loses on narrow or near-empty
     shapes where scatter is trivially fast. The alignment terms mirror
-    the kernel's tile constraints (see ops/pileup_pallas.py)."""
-    if W % 128 != 0 or B % min(128, B) != 0:
+    the kernel's tile constraints (see ops/pileup_pallas.py), including
+    the W-stripe divisibility (W % min(WB=512, W) == 0) so the policy
+    stays safe even if a future bucket ladder adds a non-power-of-two W
+    tier (e.g. 768 passes W%128 but not the stripe check)."""
+    if W % 128 != 0 or B % min(128, B) != 0 or W % min(512, W) != 0:
         return False
     if W >= 1024:
         return B >= 256

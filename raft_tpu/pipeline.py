@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 
 import time
 
@@ -171,7 +172,13 @@ def _auto_chunk_reads(read_path: str, paf_path: str) -> int:
     2 GB default keeps bench-scale runs (where chunking measured slightly
     slower — smaller batches cost more than the overlap saves) on the
     whole-file path."""
-    thr = float(os.environ.get("RAFT_AUTO_CHUNK_BYTES", 2e9))
+    try:
+        thr = float(os.environ.get("RAFT_AUTO_CHUNK_BYTES", 2e9))
+    except ValueError:
+        print("raft: ignoring malformed RAFT_AUTO_CHUNK_BYTES "
+              f"({os.environ['RAFT_AUTO_CHUNK_BYTES']!r}); using 2e9",
+              file=sys.stderr)
+        thr = 2e9
     if thr <= 0:
         return 0
     try:
