@@ -486,7 +486,8 @@ def _slab_copy_idx(cnt: np.ndarray, src_start: np.ndarray,
 def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 strict: bool = True, use_pallas: bool | None = None,
                 mesh=None, cov_out: str | None = None,
-                on_cov_events=None) -> "ComputeResult":
+                on_cov_events=None,
+                timers_out: dict | None = None) -> "ComputeResult":
     """JAX engine: device batches in, flat ComputeResult out (no per-read
     Python loops anywhere).
 
@@ -494,7 +495,12 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     coverage (everything ``.coverage.txt`` needs) is fully determined
     before any device work — when given, this callback receives a
     coverage-only ComputeResult right after event prep so the caller can
-    overlap coverage emission with the device stage."""
+    overlap coverage emission with the device stage.
+
+    ``timers_out``: optional dict that receives this call's internal
+    stage seconds (events/sort/bucket_prep/fetch/integrate) — the
+    structured form of the RAFT_TIMERS stderr line, used by the chunk
+    tracer (RAFT_CHUNK_TRACE)."""
     from raft_tpu.result import ComputeResult
 
     import time as _time
@@ -706,6 +712,8 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
         frag_wh[d_idx] = np.repeat(out["whole"][:nu], cnt)
 
     _mark("integrate")
+    if timers_out is not None:
+        timers_out.update(_timers)
     if os.environ.get("RAFT_TIMERS"):
         import sys as _sys
         print("compute_jax timers: " + ", ".join(

@@ -475,10 +475,22 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     rec_off = idx["rec_off"]
     names = idx["names"]
 
-    def _load_chunk(lo, hi):
+    # Per-chunk stage attribution (VERDICT r3 item 1): RAFT_CHUNK_TRACE=
+    # <path> writes one JSON line per chunk with thread-level busy times
+    # and wall spans, so tools/bench_chunk.py can account the schedule
+    # (what blocked the main loop, what each worker thread actually did,
+    # and where the wall went at 512k scale). Off by default: the only
+    # per-chunk cost when enabled is a few perf_counter() calls.
+    trace_path = os.environ.get("RAFT_CHUNK_TRACE")
+    trace: list | None = [] if trace_path else None
+    T0 = time.perf_counter()
+
+    def _load_chunk(lo, hi, rec=None):
+        t0 = time.perf_counter()
         store = native.load_reads_range(
             idx["data_path"], int(rec_off[lo]), int(rec_off[hi]),
             fastq=idx["fastq"])
+        t1 = time.perf_counter()
         store.real_reads = params.real_reads
         if not params.real_reads and not native.attach_sim_meta(store):
             # degenerate names: per-name python parse (exact contract)
@@ -496,38 +508,78 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
             a, b = np.searchsorted(ev_read, [lo, hi])
             sub_table = _EventTable(ev_read[a:b] - lo, ev_lo[a:b],
                                     ev_hi[a:b], symmetric)
+        if rec is not None:
+            t2 = time.perf_counter()
+            rec["load_span"] = [round(t0 - T0, 3), round(t2 - T0, 3)]
+            rec["load_read_s"] = round(t1 - t0, 3)
+            rec["load_events_s"] = round(t2 - t1, 3)
         return store, sub_table
+
+    def _timed_emit(fn, rec, key, *a, **k):
+        t0 = time.perf_counter()
+        r = fn(*a, **k)
+        t1 = time.perf_counter()
+        rec[key] = round(t1 - t0, 3)
+        rec[key.replace("_s", "_span")] = [round(t0 - T0, 3),
+                                           round(t1 - T0, 3)]
+        return r
 
     chunks = [(lo, min(lo + chunk_reads, n))
               for lo in range(0, n, chunk_reads)]
-    next_fut = load_pool.submit(_load_chunk, *chunks[0])
+    recs = [dict(ci=ci, lo=lo, hi=hi) if trace is not None else None
+            for ci, (lo, hi) in enumerate(chunks)]
+    next_fut = load_pool.submit(_load_chunk, *chunks[0], rec=recs[0])
     pending: deque = deque()
     frag_num = 1
     for ci, (lo, hi) in enumerate(chunks):
         first = ci == 0
+        rec = recs[ci]
+        t_wait = time.perf_counter()
         with _Timer(stats, "load_reads"):
             store, sub_table = next_fut.result()
+        if rec is not None:
+            rec["wait_load_s"] = round(time.perf_counter() - t_wait, 3)
         if ci + 1 < len(chunks):
-            next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1])
+            next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1],
+                                        rec=recs[ci + 1])
+        t_drain = time.perf_counter()
         while len(pending) > 1:  # bound resident chunks
             for f in pending.popleft():
                 f.result()
+        if rec is not None:
+            rec["drain_s"] = round(time.perf_counter() - t_drain, 3)
 
         # coverage emission overlaps this chunk's device stage (its only
         # input — the chunk's binned events — exists before any device
         # work); the FIFO cov pool preserves append order across chunks
         cov_fut: list = []
 
-        def _on_cov(early_res, _lo=lo, _app=not first):
-            cov_fut.append(cov_pool.submit(
-                emit.write_coverage, prefix + ".coverage.txt" + sfx,
-                params.reso, early_res, first_read_index=_lo,
-                append=_app, gz=gz_out))
+        def _on_cov(early_res, _lo=lo, _app=not first, _rec=rec):
+            if _rec is not None:
+                cov_fut.append(cov_pool.submit(
+                    _timed_emit, emit.write_coverage, _rec, "emit_cov_s",
+                    prefix + ".coverage.txt" + sfx, params.reso, early_res,
+                    first_read_index=_lo, append=_app, gz=gz_out))
+            else:
+                cov_fut.append(cov_pool.submit(
+                    emit.write_coverage, prefix + ".coverage.txt" + sfx,
+                    params.reso, early_res, first_read_index=_lo,
+                    append=_app, gz=gz_out))
 
+        eng_timers: dict = {}
+        t_comp = time.perf_counter()
         with _Timer(stats, "compute"):
             res = compute_jax(store, sub_table, params, strict=strict,
                               use_pallas=use_pallas, mesh=mesh,
-                              cov_out=cov_out, on_cov_events=_on_cov)
+                              cov_out=cov_out, on_cov_events=_on_cov,
+                              timers_out=eng_timers if rec is not None
+                              else None)
+        if rec is not None:
+            t1 = time.perf_counter()
+            rec["compute_s"] = round(t1 - t_comp, 3)
+            rec["compute_span"] = [round(t_comp - T0, 3), round(t1 - T0, 3)]
+            rec["engine"] = {k: round(v, 3) for k, v in eng_timers.items()}
+            rec["n_events"] = int(sub_table.n_rows)
 
         frag_base = frag_num
         frag_num += res.n_frags
@@ -541,25 +593,54 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                 emit.write_coverage, prefix + ".coverage.txt" + sfx,
                 params.reso, res, first_read_index=lo, append=not first,
                 gz=gz_out)]
-        futs = [
-            emit_pools[0].submit(
-                emit.write_fragments_fasta, prefix + ".reads.fasta" + sfx,
-                store, params, res, first_read_num=frag_base,
-                append=not first, gz=gz_out),
-            emit_pools[1].submit(
-                emit.write_long_repeats, prefix + ".long_repeats.txt" + sfx,
-                res, first_read_index=lo, append=not first, gz=gz_out),
-            emit_pools[2].submit(
-                emit.write_long_repeats_bed,
-                prefix + ".long_repeats.bed" + sfx, store, res,
-                append=not first, gz=gz_out),
-        ]
+        if rec is not None:
+            futs = [
+                emit_pools[0].submit(
+                    _timed_emit, emit.write_fragments_fasta, rec,
+                    "emit_fasta_s", prefix + ".reads.fasta" + sfx,
+                    store, params, res, first_read_num=frag_base,
+                    append=not first, gz=gz_out),
+                emit_pools[1].submit(
+                    _timed_emit, emit.write_long_repeats, rec,
+                    "emit_lr_s", prefix + ".long_repeats.txt" + sfx,
+                    res, first_read_index=lo, append=not first, gz=gz_out),
+                emit_pools[2].submit(
+                    _timed_emit, emit.write_long_repeats_bed, rec,
+                    "emit_bed_s", prefix + ".long_repeats.bed" + sfx,
+                    store, res, append=not first, gz=gz_out),
+            ]
+        else:
+            futs = [
+                emit_pools[0].submit(
+                    emit.write_fragments_fasta, prefix + ".reads.fasta" + sfx,
+                    store, params, res, first_read_num=frag_base,
+                    append=not first, gz=gz_out),
+                emit_pools[1].submit(
+                    emit.write_long_repeats, prefix + ".long_repeats.txt" + sfx,
+                    res, first_read_index=lo, append=not first, gz=gz_out),
+                emit_pools[2].submit(
+                    emit.write_long_repeats_bed,
+                    prefix + ".long_repeats.bed" + sfx, store, res,
+                    append=not first, gz=gz_out),
+            ]
         pending.append(futs + cov_fut)
 
     with _Timer(stats, "emit"):
         while pending:
             for f in pending.popleft():
                 f.result()
+
+    if trace is not None:
+        import json as _json
+        with open(trace_path, "w") as tf:
+            for rec in recs:
+                tf.write(_json.dumps(rec) + "\n")
+            tf.write(_json.dumps(
+                {"total_wall_s": round(time.perf_counter() - T0, 3),
+                 "stage_seconds": {k: round(v, 3)
+                                   for k, v in stats.stage_seconds.items()},
+                 "chunk_reads": chunk_reads, "n_chunks": len(chunks),
+                 "spill_paf": bool(bins is not None)}) + "\n")
 
     stats.n_reads = n
     stats.n_paf_rows = n_paf_rows

@@ -182,16 +182,39 @@ def n50(lengths: np.ndarray) -> int:
 def run_eval(workdir: str, genome_size: int = 2_000_000,
              coverage: float = 30.0, repeat_fams: int = 3,
              repeat_len: int = 15000, copies: int = 4, seed: int = 11,
-             engine: str = "jax", verbose: bool = True) -> dict:
+             engine: str = "jax", verbose: bool = True,
+             est_cov_scale: float = 1.0) -> dict:
+    """One simulation + one evaluation point.
+
+    ``est_cov_scale`` mis-specifies ``-e`` on purpose: the reference's
+    one user-supplied knob is est_cov = total_bases/genome_size
+    (``/root/reference/README.md:22-26``) and users routinely get it
+    wrong (stale genome-size guess, unaccounted duplications). The
+    sensitivity sweep (``run_sweep``) measures how quality degrades at
+    0.5×..2× of the true value."""
     from raft_tpu.tools.simulate import write_simulation
-    from raft_tpu.params import AlgoParams
-    from raft_tpu.pipeline import run_pipeline
 
     os.makedirs(workdir, exist_ok=True)
     prefix = os.path.join(workdir, "sim")
     info = write_simulation(prefix, genome_size, coverage, repeat_fams,
                             repeat_len, copies, seed=seed)
-    est_cov = max(1, info["est_cov"])
+    out = _eval_point(workdir, prefix, info, genome_size, engine,
+                      est_cov_scale)
+    if verbose:
+        print(json.dumps(out), flush=True)
+    return out
+
+
+def _eval_point(workdir: str, prefix: str, info: dict, genome_size: int,
+                engine: str, est_cov_scale: float,
+                loaded=None) -> dict:
+    """Score one (simulation, est_cov_scale) point. ``loaded`` optionally
+    carries a pre-parsed (store, table) so sweeps don't re-parse the same
+    inputs per scale."""
+    from raft_tpu.params import AlgoParams
+    from raft_tpu.pipeline import run_pipeline
+
+    est_cov = max(1, int(round(info["est_cov"] * est_cov_scale)))
 
     # full product run (all four outputs, emitted through the real path)
     params = AlgoParams(est_cov=est_cov,
@@ -200,11 +223,14 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
                       params, engine=engine, verbose=False)
 
     # exact compute-result arrays for the cut-placement analysis
-    from raft_tpu.io.fasta import load_reads
-    from raft_tpu.io.paf import load_paf
     from raft_tpu.engine_jax import compute_jax
-    store = load_reads(prefix + ".reads.fasta")
-    table = load_paf(prefix + ".overlaps.paf", store)
+    if loaded is None:
+        from raft_tpu.io.fasta import load_reads
+        from raft_tpu.io.paf import load_paf
+        store = load_reads(prefix + ".reads.fasta")
+        table = load_paf(prefix + ".overlaps.paf", store)
+    else:
+        store, table = loaded
     rparams = params.replace(real_reads=store.real_reads,
                              symmetric_overlaps=table.symmetric)
     res = compute_jax(store, table, rparams)
@@ -255,10 +281,45 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
         "naive_cut_in_repeat_rate": round(
             ncuts_in_repeat / max(len(ncuts), 1), 4),
         "fraction_repeat_stat": round(st.fraction_repeat, 4),
+        "est_cov_used": est_cov,
+        "est_cov_scale": est_cov_scale,
     }
-    if verbose:
-        print(json.dumps(out), flush=True)
     return out
+
+
+SWEEP_SCALES = (0.5, 0.75, 1.0, 1.5, 2.0)
+
+
+def run_sweep(workdir: str, genome_size: int = 2_000_000,
+              coverage: float = 30.0, seeds=(11, 23),
+              scales=SWEEP_SCALES, engine: str = "jax",
+              repeat_fams: int = 3, repeat_len: int = 15000,
+              copies: int = 4, verbose: bool = True) -> list[dict]:
+    """est_cov sensitivity sweep (VERDICT r3 item 4): one simulation per
+    seed, evaluated at each ``-e`` mis-specification scale. The inputs are
+    parsed once per seed; only the parameter point changes."""
+    from raft_tpu.tools.simulate import write_simulation
+    from raft_tpu.io.fasta import load_reads
+    from raft_tpu.io.paf import load_paf
+
+    rows = []
+    for seed in seeds:
+        wd = os.path.join(workdir, f"seed{seed}")
+        os.makedirs(wd, exist_ok=True)
+        prefix = os.path.join(wd, "sim")
+        info = write_simulation(prefix, genome_size, coverage, repeat_fams,
+                                repeat_len, copies, seed=seed)
+        store = load_reads(prefix + ".reads.fasta")
+        table = load_paf(prefix + ".overlaps.paf", store)
+        for scale in scales:
+            r = _eval_point(wd, prefix, info, genome_size, engine, scale,
+                            loaded=(store, table))
+            r["seed"] = seed
+            r["genome_size"] = genome_size
+            rows.append(r)
+            if verbose:
+                print(json.dumps(r), flush=True)
+    return rows
 
 
 def main(argv=None) -> int:
@@ -271,9 +332,22 @@ def main(argv=None) -> int:
     ap.add_argument("--copies", type=int, default=4)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--engine", default="jax")
+    ap.add_argument("--est-cov-scale", type=float, default=1.0,
+                    help="evaluate with -e at this multiple of the true "
+                         "coverage (sensitivity analysis)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the full est_cov sensitivity sweep "
+                         f"(scales {SWEEP_SCALES}, seeds 11+23) instead "
+                         "of a single point")
     a = ap.parse_args(argv)
-    run_eval(a.workdir, a.genome_size, a.coverage, a.repeat_fams,
-             a.repeat_len, a.copies, a.seed, a.engine)
+    if a.sweep:
+        run_sweep(a.workdir, a.genome_size, a.coverage,
+                  engine=a.engine, repeat_fams=a.repeat_fams,
+                  repeat_len=a.repeat_len, copies=a.copies)
+    else:
+        run_eval(a.workdir, a.genome_size, a.coverage, a.repeat_fams,
+                 a.repeat_len, a.copies, a.seed, a.engine,
+                 est_cov_scale=a.est_cov_scale)
     return 0
 
 

@@ -27,6 +27,29 @@ def test_quality_at_2m_scale(tmp_path):
     assert out["n_fragments"] > out["n_reads"], out
 
 
+@pytest.mark.slow
+def test_est_cov_sensitivity_shape(tmp_path):
+    """The est_cov mis-specification failure mode (EVAL.md round-4
+    sweep) must keep its qualitative shape: under-estimating -e
+    collapses precision and suppresses fragmentation; >=1x is stable."""
+    from raft_tpu.tools.eval_repeats import run_sweep
+
+    rows = run_sweep(str(tmp_path), genome_size=2_000_000, coverage=30.0,
+                     seeds=(11,), scales=(0.5, 1.0, 2.0), verbose=False)
+    by_scale = {r["est_cov_scale"]: r for r in rows}
+    lo, mid, hi = by_scale[0.5], by_scale[1.0], by_scale[2.0]
+    # under-estimate: precision collapse + under-fragmentation
+    assert lo["bed_precision_flank_tolerant"] <= 0.5, lo
+    assert lo["n_fragments"] <= 0.9 * mid["n_fragments"], (lo, mid)
+    assert lo["fraction_repeat_stat"] >= 3 * mid["fraction_repeat_stat"]
+    # correct and over-estimate: healthy on this genome size
+    for r in (mid, hi):
+        assert r["bed_recall"] >= 0.95, r
+        assert r["bed_precision_flank_tolerant"] >= 0.95, r
+    assert abs(hi["n_fragments"] - mid["n_fragments"]) \
+        <= 0.02 * mid["n_fragments"], (mid, hi)
+
+
 def test_interval_algebra():
     """Unit: merge/intersect/points_in on hand-checked cases."""
     import numpy as np
