@@ -459,6 +459,91 @@ def device_step(lens, ev_off, ev_pk, *, cfg: StaticCfg):
 
 
 # ---------------------------------------------------------------------------
+# Speculative executable pre-warm (program-load overlap)
+# ---------------------------------------------------------------------------
+# On tunneled TPU terminals the FIRST execution of each executable in a
+# process pays a large program-load cost (~10 s each; ~60 s total for the
+# 512k workload's shape families, measured in the r4 cold decomposition)
+# even when every compile is a persistent-cache hit. Bucket shapes are
+# quantized to a small ladder, so they recur across runs: we persist the
+# shape families a run used and, in the NEXT fresh process, trigger their
+# compile + first dummy execution on a background thread while the
+# disk-bound input scan runs — moving the program loads off the critical
+# path. Purely a warm-up: wrong/stale entries cost idle-prelude work only.
+
+_SHAPE_WARM_PATH = os.path.expanduser("~/.cache/raft_tpu/shape_warm.json")
+_SHAPE_WARM_MAX = 48
+
+
+def _record_shape_families(keys) -> None:
+    """Persist this run's device_step jit keys (StaticCfg + arg specs),
+    newest first, bounded, atomic replace."""
+    import json
+    entries = []
+    for cfg, aspecs in keys:
+        entries.append({"cfg": dataclasses.asdict(cfg),
+                        "args": [[list(s), d] for s, d in aspecs]})
+    try:
+        with open(_SHAPE_WARM_PATH) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = []
+    seen = {json.dumps(e, sort_keys=True) for e in entries}
+    for e in old:
+        k = json.dumps(e, sort_keys=True)
+        if k not in seen and len(entries) < _SHAPE_WARM_MAX:
+            entries.append(e)
+            seen.add(k)
+    tmp = f"{_SHAPE_WARM_PATH}.tmp{os.getpid()}"
+    try:
+        os.makedirs(os.path.dirname(_SHAPE_WARM_PATH), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, _SHAPE_WARM_PATH)
+    except OSError:
+        pass
+
+
+def warm_shapes_async():
+    """Pre-compile + pre-load recently-seen shape families on a daemon
+    thread (TPU backend only; RAFT_SHAPE_WARM=0 disables). Returns the
+    thread, or None when there is nothing to do."""
+    if os.environ.get("RAFT_SHAPE_WARM", "1") == "0":
+        return None
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    import json
+    import threading
+    try:
+        with open(_SHAPE_WARM_PATH) as f:
+            entries = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not entries:
+        return None
+
+    def _one(d):
+        try:
+            cfg = StaticCfg(**d["cfg"])
+            args = [jnp.zeros(tuple(s), dtype=dt) for s, dt in d["args"]]
+            jax.block_until_ready(device_step(*args, cfg=cfg))
+        except Exception:
+            pass  # stale/invalid family: warm-up only, never fatal
+
+    def _run():
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_one, entries))
+
+    th = threading.Thread(target=_run, daemon=True, name="raft-shape-warm")
+    th.start()
+    return th
+
+
+# ---------------------------------------------------------------------------
 # Host driver: buckets in, per-read results out
 # ---------------------------------------------------------------------------
 
@@ -667,6 +752,17 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     finally:
         io_pool.shutdown(wait=False, cancel_futures=True)
     _mark("fetch")
+
+    # remember this run's shape families so the next fresh process can
+    # pre-load their executables during its prelude (single-device keys
+    # only: the warm replays through device_step)
+    if (n_shards == 1 and jax.default_backend() == "tpu"
+            and os.environ.get("RAFT_SHAPE_WARM", "1") != "0"
+            and compiles):
+        try:
+            _record_shape_families([(k[0], k[1:]) for k in compiles])
+        except Exception:
+            pass
 
     # global offsets in read-id order
     rep_n_all = np.zeros(n, dtype=np.int64)
