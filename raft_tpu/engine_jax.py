@@ -94,23 +94,22 @@ def pallas_default() -> bool:
 
 
 def pallas_auto(B: int, W: int) -> bool:
-    """Per-bucket Pallas policy, chosen from the compiled on-chip A/B
-    (``tools/bench_pallas.py``, r3 table in BENCHMARKS.md): with the
-    wrapper on the host, the one-hot-matmul kernel wins on wide,
-    well-filled buckets — W>=1024 from B>=256 (1.4-1.7x), and full
-    W=512 buckets (1.07-1.11x) — and loses on narrow or near-empty
-    shapes where scatter is trivially fast. The alignment terms mirror
-    the kernel's tile constraints (see ops/pileup_pallas.py), including
-    the W-stripe divisibility (W % min(WB=512, W) == 0) so the policy
-    stays safe even if a future bucket ladder adds a non-power-of-two W
-    tier (e.g. 768 passes W%128 but not the stripe check)."""
+    """Per-bucket Pallas policy, re-fit in round 4 from TWO interleaved
+    compiled on-chip A/B runs with per-round spread bars
+    (``tools/bench_pallas.py``, RAFT_AB_ROUNDS=5 each; table in
+    BENCHMARKS.md): the one-hot-matmul kernel wins only on LARGE,
+    well-filled batches — B>=2048 at any aligned W>=256 (1.04-1.11x,
+    reproduced across both runs and clearing the measured spread) — and
+    is exactly break-even (1.00) on every B<=384 shape, including the
+    W>=1024 region the r3 policy enabled from a single noisy A/B day
+    (its 1.4x claim did not reproduce). The alignment terms mirror the
+    kernel's tile constraints (see ops/pileup_pallas.py), including the
+    W-stripe divisibility (W % min(WB=512, W) == 0) so the policy stays
+    safe even if a future bucket ladder adds a non-power-of-two W tier
+    (e.g. 768 passes W%128 but not the stripe check)."""
     if W % 128 != 0 or B % min(128, B) != 0 or W % min(512, W) != 0:
         return False
-    if W >= 1024:
-        return B >= 256
-    if W >= 512:
-        return B >= 2048
-    return False
+    return B >= 2048 and W >= 256
 
 
 def derive_cfg(B: int, W: int, E: int, params: AlgoParams,
