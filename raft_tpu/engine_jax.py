@@ -473,6 +473,13 @@ def device_step(lens, ev_off, ev_pk, *, cfg: StaticCfg):
 _SHAPE_WARM_PATH = os.path.expanduser("~/.cache/raft_tpu/shape_warm.json")
 _SHAPE_WARM_MAX = 48
 
+# Set the moment real compute starts dispatching: the warm thread checks
+# it before every entry so speculative program loads never queue BEHIND
+# production work on the serial device (measured: letting the warm list
+# run on costs more than it saves once the chunk loop is live).
+import threading as _threading
+_WARM_STOP = _threading.Event()
+
 
 def _record_shape_families(keys) -> None:
     """Persist this run's device_step jit keys (StaticCfg + arg specs),
@@ -525,6 +532,8 @@ def warm_shapes_async():
         return None
 
     def _one(d):
+        if _WARM_STOP.is_set():
+            return
         try:
             cfg = StaticCfg(**d["cfg"])
             args = [jnp.zeros(tuple(s), dtype=dt) for s, dt in d["args"]]
@@ -697,6 +706,7 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
     fetch_workers = max(1, int(os.environ.get("RAFT_FETCH_WORKERS", "4")))
     io_pool = cf.ThreadPoolExecutor(max_workers=fetch_workers)
     roundtrips: list = []
+    _WARM_STOP.set()  # real device work starts: speculative warm yields
 
     def _roundtrip(bk, cfg, args, key):
         compiles[key].result()  # jit cache shared → dispatch is cheap
