@@ -200,7 +200,12 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --cov-out MODE          coverage return path: host\n"
                 "                          (default; rebuilt host-side,\n"
                 "                          minimal D2H), diff8 (int8 diff\n"
-                "                          transfer), cov (full int32)\n")
+                "                          transfer), cov (full int32)\n"
+                "\nAdvisories: when the observed coverage/window is far\n"
+                "from the supplied -e (the est_cov mis-specification the\n"
+                "EVAL.md sweep quantifies), a HINT is printed on stderr;\n"
+                "RAFT_NO_HINTS=1 silences it. stdout always stays\n"
+                "line-identical to the reference.\n")
             raise SystemExit(0)
         else:
             rest.append(a)

@@ -98,6 +98,36 @@ class _Timer:
             + time.perf_counter() - self.t0)
 
 
+def _est_cov_hint(stats: "RunStats", params: AlgoParams) -> None:
+    """stderr advisory when ``-e`` looks mis-specified.
+
+    est_cov is the one knob users must compute themselves
+    (total_bases/genome_size, reference README:22-26) and the r4
+    sensitivity sweep (EVAL.md) showed the failure mode is severe and
+    asymmetric: under-estimates collapse repeat precision ~10x and
+    suppress fragmentation, over-estimates >~2x cost recall. The
+    reference prints the observed/supplied ratio but never interprets
+    it; we add the interpretation on STDERR (stdout stays line-identical
+    to the reference). RAFT_NO_HINTS=1 disables."""
+    if os.environ.get("RAFT_NO_HINTS"):
+        return
+    if not stats.total_windows or params.est_cov <= 0:
+        return
+    ratio = stats.coverage_per_window / params.est_cov
+    if ratio > 1.5:
+        print(f"HINT: observed coverage per window ({ratio:.2f}x the "
+              f"supplied -e {params.est_cov}) suggests est_cov is "
+              "UNDER-estimated; low -e collapses repeat precision and "
+              "suppresses fragmentation (EVAL.md). Consider -e nearer "
+              f"{stats.coverage_per_window:.0f}.", file=sys.stderr)
+    elif ratio < 0.5:
+        print(f"HINT: observed coverage per window is only {ratio:.2f}x "
+              f"the supplied -e {params.est_cov}; a >2x over-estimate "
+              "makes true repeats miss the high-coverage threshold "
+              "(recall loss, EVAL.md). Consider -e nearer "
+              f"{stats.coverage_per_window:.0f}.", file=sys.stderr)
+
+
 def _sum_output_bytes(prefix: str, sfx: str) -> int:
     tot = 0
     for name in (".coverage.txt", ".long_repeats.txt",
@@ -341,6 +371,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         print("coverage per window/average coverage is "
               f"{stats.coverage_per_window / params.est_cov:f} ")
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
+        _est_cov_hint(stats, params)
 
     with _Timer(stats, "emit"):
         # the four writers touch disjoint files and release the GIL in
@@ -691,6 +722,7 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         print("coverage per window/average coverage is "
               f"{stats.coverage_per_window / params.est_cov:f} ")
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
+        _est_cov_hint(stats, params)
     return stats
 
 

@@ -201,3 +201,39 @@ def test_overlap_greater_than_interval_rejected(tmp_path):
     with pytest.raises(ValueError, match=r"-v.*<=.*-p|overlap_length"):
         AlgoParams(est_cov=10, overlap_length=1000,
                    interval_length=500, repeat_length=500).validate()
+
+
+def test_est_cov_hint_on_stderr(tmp_path, capsys):
+    """The r4 est_cov advisory (EVAL.md sweep) fires on STDERR when -e
+    is far from the observed coverage, stays silent when -e matches,
+    and never touches stdout (reference line parity)."""
+    reads, paf = _case(tmp_path)
+    from raft_tpu import cli
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        # -e 1: observed coverage/window >> 1 -> under-estimate hint
+        assert cli.main(["-e", "1", "-p", "2000", "-l", "4000",
+                         "-o", "h1", reads, paf]) == 0
+        cap = capsys.readouterr()
+        assert "UNDER-estimated" in cap.err
+        assert "HINT" not in cap.out
+
+        # -e 1000: ratio ~0 -> over-estimate hint
+        assert cli.main(["-e", "1000", "-p", "2000", "-l", "4000",
+                         "-o", "h2", reads, paf]) == 0
+        cap = capsys.readouterr()
+        assert "over-estimate" in cap.err
+        assert "HINT" not in cap.out
+
+        # RAFT_NO_HINTS silences it
+        os.environ["RAFT_NO_HINTS"] = "1"
+        try:
+            assert cli.main(["-e", "1", "-p", "2000", "-l", "4000",
+                             "-o", "h3", reads, paf]) == 0
+            cap = capsys.readouterr()
+            assert "HINT" not in cap.err
+        finally:
+            del os.environ["RAFT_NO_HINTS"]
+    finally:
+        os.chdir(cwd)
