@@ -98,19 +98,76 @@ class LineReader {
 };
 
 struct Interner {
-  std::unordered_map<std::string, int32_t> map;
+  // Open-addressing FNV-1a string→id map. The previous
+  // std::unordered_map<std::string, int32_t> built a temporary
+  // std::string PER CALL — one heap allocation per name per PAF row,
+  // ~63 M allocations for the 512k-read / 31.5 M-row parse — which
+  // dominated the preparse profile. This probes with the raw bytes and
+  // allocates only for first-seen names. Ids are assigned in
+  // first-seen order (the reference's create_pileup contract).
+  std::vector<uint64_t> hashes;    // 0 = empty slot
+  std::vector<int32_t> ids;        // slot → id
+  std::vector<std::string> names;  // id → name (first-seen order)
+  size_t mask = 0;
+
+  static uint64_t hash_bytes(const char* s, size_t n) {
+    uint64_t h = 1469598103934665603ull;
+    for (size_t i = 0; i < n; i++) {
+      h ^= static_cast<unsigned char>(s[i]);
+      h *= 1099511628211ull;
+    }
+    return h | 1;  // never 0 (0 marks an empty slot)
+  }
+  void grow(size_t want_ids) {
+    size_t cap = 64;
+    while (cap < want_ids * 2) cap <<= 1;
+    if (cap <= hashes.size()) return;
+    std::vector<uint64_t> oh = std::move(hashes);
+    std::vector<int32_t> oi = std::move(ids);
+    hashes.assign(cap, 0);
+    ids.assign(cap, 0);
+    mask = cap - 1;
+    for (size_t j = 0; j < oh.size(); j++) {
+      if (!oh[j]) continue;
+      size_t i = oh[j] & mask;
+      while (hashes[i]) i = (i + 1) & mask;
+      hashes[i] = oh[j];
+      ids[i] = oi[j];
+    }
+  }
   int32_t intern(const char* s, size_t n) {
-    auto it = map.find(std::string(s, n));
-    if (it != map.end()) return it->second;
-    int32_t id = static_cast<int32_t>(map.size());
-    map.emplace(std::string(s, n), id);
+    if (hashes.empty()) grow(16);
+    uint64_t h = hash_bytes(s, n);
+    size_t i = h & mask;
+    while (hashes[i]) {
+      if (hashes[i] == h) {
+        const std::string& k = names[ids[i]];
+        if (k.size() == n && memcmp(k.data(), s, n) == 0) return ids[i];
+      }
+      i = (i + 1) & mask;
+    }
+    int32_t id = static_cast<int32_t>(names.size());
+    names.emplace_back(s, n);
+    hashes[i] = h;
+    ids[i] = id;
+    if (names.size() * 2 >= mask) grow(names.size() * 2);
     return id;
   }
   // read-only (thread-safe) lookup; -1 if unknown
   int32_t lookup(const char* s, size_t n) const {
-    auto it = map.find(std::string(s, n));
-    return it == map.end() ? -1 : it->second;
+    if (hashes.empty()) return -1;
+    uint64_t h = hash_bytes(s, n);
+    size_t i = h & mask;
+    while (hashes[i]) {
+      if (hashes[i] == h) {
+        const std::string& k = names[ids[i]];
+        if (k.size() == n && memcmp(k.data(), s, n) == 0) return ids[i];
+      }
+      i = (i + 1) & mask;
+    }
+    return -1;
   }
+  size_t size() const { return names.size(); }
 };
 
 // Read-only file mapping for the multi-threaded plain-file parsers.
@@ -1149,7 +1206,7 @@ RaftPaf* load_paf_threaded(const char* p, size_t n, RaftFasta* fa) {
   fill(&RaftPaf::b_s, &PafLocal::b_s);
   fill(&RaftPaf::b_e, &PafLocal::b_e);
   pf->symmetric = mirror ? 1 : 0;
-  pf->n_names = static_cast<int64_t>(fa->interner.map.size());
+  pf->n_names = static_cast<int64_t>(fa->interner.size());
   return pf;
 }
 
@@ -1164,19 +1221,9 @@ RaftPaf* load_paf_threaded(const char* p, size_t n, RaftFasta* fa) {
 // the FASTA in exact file first-seen order, which is the reference's
 // behavior (create_pileup interns PAF names too, chop.hpp:160-163).
 // ---------------------------------------------------------------------------
-struct LocalInterner {
-  std::unordered_map<std::string, int32_t> map;
-  std::vector<std::string> names;  // by local id (= first-seen order)
-  int32_t intern(const char* s, size_t n) {
-    std::string key(s, n);
-    auto it = map.find(key);
-    if (it != map.end()) return it->second;
-    int32_t id = static_cast<int32_t>(names.size());
-    map.emplace(std::move(key), id);
-    names.emplace_back(s, n);
-    return id;
-  }
-};
+// Thread-local interner for the preparse phase: same fast map (ids in
+// region-encounter order; .names consumed by raftio_resolve_paf).
+using LocalInterner = Interner;
 
 struct PafPreLocal {
   std::vector<int32_t> a_id, b_id, a_s, a_e, b_s, b_e;
@@ -1246,6 +1293,10 @@ void preparse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
     if (!q) return;
     i = static_cast<size_t>(q - p) + 1;
   }
+  const char* mq = nullptr;  // last-qn/tn memo (see below)
+  const char* mt = nullptr;
+  size_t mq_len = 0, mt_len = 0;
+  int32_t mq_id = 0, mt_id = 0;
   while (i < hi && i < n) {
     size_t line_off = i;
     const char* line = p + i;
@@ -1264,8 +1315,25 @@ void preparse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
         memcmp(row0.qn, r.tn, r.tn_len) == 0 &&
         memcmp(row0.tn, r.qn, r.qn_len) == 0)
       out->mirror = true;
-    out->a_id.push_back(out->in.intern(r.qn, r.qn_len));
-    out->b_id.push_back(out->in.intern(r.tn, r.tn_len));
+    // run-length memo: ava PAFs are query-grouped (hifiasm/minimap2
+    // emit all rows of a query consecutively), so consecutive rows
+    // usually repeat qn — one memcmp replaces the hash+probe
+    if (mq && mq_len == r.qn_len && memcmp(mq, r.qn, mq_len) == 0) {
+      out->a_id.push_back(mq_id);
+    } else {
+      mq_id = out->in.intern(r.qn, r.qn_len);
+      mq = r.qn;
+      mq_len = r.qn_len;
+      out->a_id.push_back(mq_id);
+    }
+    if (mt && mt_len == r.tn_len && memcmp(mt, r.tn, mt_len) == 0) {
+      out->b_id.push_back(mt_id);
+    } else {
+      mt_id = out->in.intern(r.tn, r.tn_len);
+      mt = r.tn;
+      mt_len = r.tn_len;
+      out->b_id.push_back(mt_id);
+    }
     out->a_s.push_back(r.as_);
     out->a_e.push_back(r.ae);
     out->b_s.push_back(r.bs);
@@ -1349,7 +1417,7 @@ RaftPaf* raftio_resolve_paf(RaftPafPre* pre, RaftFasta* fa) {
     off += m;
   }
   pf->symmetric = mirror ? 1 : 0;
-  pf->n_names = static_cast<int64_t>(fa->interner.map.size());
+  pf->n_names = static_cast<int64_t>(fa->interner.size());
   return pf;
 }
 
@@ -1426,7 +1494,7 @@ RaftPaf* raftio_load_paf(const char* path, RaftFasta* fa) {
     pf->b_e.push_back(te);
   }
   pf->symmetric = symmetric ? 1 : 0;
-  pf->n_names = static_cast<int64_t>(in.map.size());
+  pf->n_names = static_cast<int64_t>(in.size());
   return pf;
 }
 
@@ -2386,7 +2454,12 @@ int emit_sharded(const char* path, int64_t n_items, int append,
     BufWriter w(path, append != 0);
     if (!w.ok()) return -1;
     render(w, static_cast<int64_t>(0), n_items);
-    return 0;
+    // flush BEFORE deciding the return code: the destructor's flush is
+    // too late to report ENOSPC/EIO, and a silently truncated output
+    // with rc=0 is the worst possible failure (found by an actual
+    // disk-full event during the r4 512k runs)
+    w.flush();
+    return w.ok() ? 0 : -1;
   }
   if (gz) {
     std::vector<MemWriter> shards(T);
@@ -2571,7 +2644,8 @@ int raftio_emit_frags(const char* path, const char* seq_blob,
     w.put(seq_blob + base, static_cast<size_t>(char_len[i]));
     w.putc('\n');
   }
-  return 0;
+  w.flush();
+  return w.ok() ? 0 : -1;
 }
 
 // Fragment FASTA with in-C++ header rendering (chop.hpp:250-321).

@@ -206,3 +206,22 @@ def test_bgzf_pipeline_parity_with_plain(tmp_path, monkeypatch):
                 ".long_repeats.bed"):
         assert (tmp_path / f"plain{ext}").read_bytes() == \
             (tmp_path / f"bg{ext}").read_bytes(), ext
+
+
+def test_emit_reports_write_failure_enospc():
+    """A full filesystem (ENOSPC) must surface as a failed emit, not a
+    silently truncated output with rc=0 (found by an actual disk-full
+    event during the r4 512k runs: the serial BufWriter fast path
+    decided its return code before the final flush). /dev/full yields
+    ENOSPC on every write."""
+    import numpy as np
+    from raft_tpu.io import native
+    if native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    if not os.path.exists("/dev/full"):
+        pytest.skip("no /dev/full on this platform")
+    rep_s = np.asarray([1, 2], dtype=np.int32)
+    rep_e = np.asarray([3, 4], dtype=np.int32)
+    rep_off = np.asarray([0, 2], dtype=np.int64)
+    assert native.emit_repeats("/dev/full", rep_s, rep_e, rep_off,
+                               n_reads=1) is False
