@@ -556,7 +556,7 @@ void fill_fasta_region(const char* p, size_t n, size_t lo, size_t hi,
 void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
                        char* name_blob, int64_t name_base,
                        int64_t* name_off, int64_t* rec_off,
-                       int64_t rec_base) {
+                       int64_t rec_base, int64_t* lens) {
   size_t i = fasta_region_start(p, n, lo);
   int64_t npos = name_base;
   int64_t rec = rec_base;
@@ -573,12 +573,19 @@ void fill_index_region(const char* p, size_t n, size_t lo, size_t hi,
     memcpy(name_blob + npos, line + b, e - b);
     npos += static_cast<int64_t>(e - b);
     name_blob[npos++] = '\0';
+    // sequence length rides along for free: the scan below already
+    // walks every sequence line to find the next record (consumers:
+    // the chunked pipeline's whole-input native event grouping)
+    int64_t slen = 0;
     size_t j = nl ? static_cast<size_t>(nl - p) + 1 : n;
     while (j < n && p[j] != '>') {
       const char* nl2 =
           static_cast<const char*>(memchr(p + j, '\n', n - j));
+      size_t l2 = nl2 ? static_cast<size_t>(nl2 - (p + j)) : n - j;
+      slen += static_cast<int64_t>(line_len(p + j, l2));
       j = nl2 ? static_cast<size_t>(nl2 - p) + 1 : n;
     }
+    lens[rec] = slen;
     rec++;
     name_off[rec] = npos;
     i = j;
@@ -611,6 +618,7 @@ RaftFasta* index_fasta_threaded(const char* p, const size_t n) {
   fa->name_blob.resize(nb_base[T]);
   fa->name_off.resize(rec_base[T] + 1);
   fa->rec_off.resize(rec_base[T] + 1);
+  fa->lens.resize(rec_base[T]);
   fa->name_off[0] = 0;
   fa->rec_off[rec_base[T]] = static_cast<int64_t>(n);
   {
@@ -619,7 +627,8 @@ RaftFasta* index_fasta_threaded(const char* p, const size_t n) {
       threads.emplace_back(fill_index_region, p, n, n * t / T,
                            n * (t + 1) / T, fa->name_blob.data(),
                            nb_base[t], fa->name_off.data(),
-                           fa->rec_off.data(), rec_base[t]);
+                           fa->rec_off.data(), rec_base[t],
+                           fa->lens.data());
     }
     for (auto& th : threads) th.join();
   }
@@ -750,6 +759,7 @@ void index_fastx_buf(const char* p, size_t n, RaftFasta* fa) {
       while (b < len && isspace(static_cast<unsigned char>(line[b]))) b++;
       size_t e = b;
       while (e < len && !isspace(static_cast<unsigned char>(line[e]))) e++;
+      if (fa->n > 0) fa->lens.push_back(seq_len_cur);
       fa->rec_off.push_back(static_cast<int64_t>(i));
       fa->name_blob.insert(fa->name_blob.end(), line + b, line + e);
       fa->name_blob.push_back('\0');
@@ -768,6 +778,7 @@ void index_fastx_buf(const char* p, size_t n, RaftFasta* fa) {
     }
     i = next;
   }
+  if (fa->n > 0) fa->lens.push_back(seq_len_cur);
   fa->rec_off.push_back(static_cast<int64_t>(n));
   static const std::regex sim_re(
       "^read=[0-9]+,[a-z]+,position=[0-9]+-[0-9]+,length=[0-9]+,(.*)");

@@ -552,9 +552,15 @@ def index_reads(path: str):
     names = (name_blob[:-1].decode("ascii", errors="replace").split("\0")
              if n else [])
     rec_off = _as_array(lib.rf_rec_off(ptr), n + 1, np.int64).copy()
+    # per-read sequence lengths ride along with the index scan (free:
+    # the pass walks every sequence line anyway); they feed the
+    # whole-input native event grouping in the chunked pipeline
+    lens = (_as_array(lib.rf_lens(ptr), n, np.int64).copy()
+            if n else np.empty(0, np.int64))
     decomp = lib.rf_decomp_path(ptr)
     decomp = decomp.decode() if decomp else ""
     return {"handle": h, "n": n, "names": names, "rec_off": rec_off,
+            "lens": lens,
             "real_reads": bool(lib.rf_real_reads(ptr)),
             "data_path": decomp or path,
             "fastq": bool(lib.rf_has_fastq(ptr))}
