@@ -225,3 +225,47 @@ def test_emit_reports_write_failure_enospc():
     rep_off = np.asarray([0, 2], dtype=np.int64)
     assert native.emit_repeats("/dev/full", rep_s, rep_e, rep_off,
                                n_reads=1) is False
+
+
+def test_index_lens_match_parsed_lens(tmp_path):
+    """The index scan's per-read lens (new in r4, feeds the chunked
+    path's whole-input event grouping) must equal the full parser's
+    lens on every input mode — multiline, CRLF, gz, FASTQ."""
+    import numpy as np
+    import datagen
+    from raft_tpu.io import native
+    from raft_tpu.io.fasta import load_reads
+    if native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    for i, mode in enumerate([
+            dict(multiline=True),
+            dict(multiline=True, gz=True),
+            dict(fastq=True),
+            dict(fastq=True, gz=True),
+            dict(simulated=True)]):
+        d = tmp_path / f"m{i}"
+        d.mkdir()
+        reads, _ = datagen.standard_case(seed=77 + i, tmpdir=str(d),
+                                         n_reads=17, **mode)
+        idx = native.index_reads(reads)
+        assert idx is not None
+        store = load_reads(reads)
+        np.testing.assert_array_equal(
+            np.asarray(idx["lens"]), np.asarray(store.lens, dtype=np.int64),
+            err_msg=str(mode))
+
+
+def test_index_lens_crlf(tmp_path):
+    """CRLF line endings must not count toward the indexed lens."""
+    import numpy as np
+    from raft_tpu.io import native
+    from raft_tpu.io.fasta import load_reads
+    if native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    p = tmp_path / "crlf.fa"
+    p.write_bytes(b">a x\r\nACGT\r\nGG\r\n>b\r\nTTTT\r\n")
+    idx = native.index_reads(str(p))
+    assert idx is not None
+    np.testing.assert_array_equal(np.asarray(idx["lens"]), [6, 4])
+    store = load_reads(str(p))
+    np.testing.assert_array_equal(np.asarray(store.lens), [6, 4])
