@@ -279,6 +279,11 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(os.environ.get("RAFT_BENCH_HARD_S", "1200")))
     os.makedirs(WORK, exist_ok=True)
+    # start the speculative executable pre-warm NOW so the per-process
+    # program loads overlap the CPU-bound dataset generation below
+    # (run_pipeline would start it anyway, but later)
+    from raft_tpu.engine_jax import warm_shapes_async
+    warm_shapes_async()
     from raft_tpu.tools.benchgen import gen_dataset
     reads, paf = gen_dataset(os.path.join(WORK, f"data{N_READS}"),
                              n_reads=N_READS,
