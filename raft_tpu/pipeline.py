@@ -629,7 +629,12 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
             next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1],
                                         rec=recs[ci + 1])
         t_drain = time.perf_counter()
-        while len(pending) > 1:  # bound resident chunks
+        # bound resident chunks: current + prefetched + RAFT_CHUNK_PENDING
+        # still-emitting (default 2 ≈ one extra chunk store resident, so
+        # a transient emit lag no longer blocks the main loop — measured
+        # 25 s of drain stalls at 512k with the old bound of 1)
+        max_pending = max(1, int(os.environ.get("RAFT_CHUNK_PENDING", "2")))
+        while len(pending) > max_pending:
             for f in pending.popleft():
                 f.result()
         if rec is not None:
