@@ -97,3 +97,52 @@ def test_sharded_int8_overflow_host_rebuild():
     np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
     np.testing.assert_array_equal(r1.ensure_cov(), rh.ensure_cov())
     assert r1.ensure_cov().max() >= 200
+
+
+def test_sharded_ultralong_pairs_tier():
+    """Megabase reads put the bucket past W=32768 where events ship as
+    (w0, span) int32 PAIRS (engine_jax.event_pack_mode -> 0): that wire
+    format must also be exact through the mesh (the 16/24-bit tiers ride
+    the multichip dryrun; this is the remaining decode path)."""
+    from raft_tpu.io.fasta import ReadStore
+    from raft_tpu.io.paf import OverlapTable
+    from raft_tpu.engine_jax import derive_cfg
+
+    rng = np.random.default_rng(7)
+    lens = np.asarray([2_500_000, 2_200_000, 2_000_000, 40_000,
+                       30_000, 20_000, 10_000, 5_000], dtype=np.int32)
+    off = np.zeros(9, dtype=np.int64)
+    np.cumsum(lens.astype(np.int64), out=off[1:])
+    store = ReadStore(names=[f"u{i}" for i in range(8)],
+                      seq_blob=b"A" * int(lens.sum()), seq_off=off,
+                      lens=lens, real_reads=True)
+    rows = []
+    for _ in range(400):
+        a = int(rng.integers(0, 8))
+        b = int(rng.integers(0, 8))
+        qs = int(rng.integers(0, lens[a]))
+        qe = int(rng.integers(qs + 1, lens[a] + 1))
+        ts = int(rng.integers(0, lens[b]))
+        te = int(rng.integers(ts + 1, lens[b] + 1))
+        rows.append((a, qs, qe, b, ts, te))
+    # qualifying repeat run deep inside an ultralong read
+    rows += [(0, 1_500_000, 1_540_000, 1, 0, 40_000)] * 30
+    a_id, a_s, a_e, b_id, b_s, b_e = map(
+        lambda x: np.asarray(x, dtype=np.int32), zip(*rows))
+    table = OverlapTable(a_id=a_id, b_id=b_id, a_start=a_s, a_end=a_e,
+                         b_start=b_s, b_end=b_e, symmetric=False,
+                         n_names=8)
+    params = AlgoParams(est_cov=5, cov_mul=1.2, repeat_length=10000,
+                        interval_length=10000, read_length=20000,
+                        overlap_length=500, flanking_length=1000)
+    # the ultralong tier really is the pairs wire format
+    assert derive_cfg(8, 65536, 1024, params).ev_pack == 0
+
+    r1 = compute_jax(store, table, params)
+    r8 = compute_jax(store, table, params, mesh=make_mesh(8))
+    assert r1.total_repeat_length == r8.total_repeat_length
+    np.testing.assert_array_equal(r1.ensure_cov(), r8.ensure_cov())
+    np.testing.assert_array_equal(r1.rep_s, r8.rep_s)
+    np.testing.assert_array_equal(r1.rep_e, r8.rep_e)
+    np.testing.assert_array_equal(r1.frag_char_start, r8.frag_char_start)
+    np.testing.assert_array_equal(r1.frag_char_len, r8.frag_char_len)
