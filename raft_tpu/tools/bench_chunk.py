@@ -107,6 +107,11 @@ def run_traced(reads: str, paf: str, prefix: str, trace_path: str,
 
 
 def analyze(trace_path: str, wall: float, stats: dict) -> dict:
+    if not os.path.exists(trace_path):
+        raise SystemExit(
+            "bench_chunk: no chunk trace was written — the run took the "
+            "whole-file path (input under the auto-stream threshold?). "
+            "Pass --chunk N to force the chunked schedule.")
     recs = [json.loads(line) for line in open(trace_path)]
     tail = recs.pop()  # summary record
     sums: dict = {}
