@@ -516,6 +516,8 @@ def warm_shapes_async():
     thread, or None when there is nothing to do."""
     if os.environ.get("RAFT_SHAPE_WARM", "1") == "0":
         return None
+    if _WARM_STOP.is_set():
+        return None  # real compute already ran in this process
     try:
         if jax.default_backend() != "tpu":
             return None
