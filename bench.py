@@ -116,7 +116,7 @@ def run_reference_parallel(ref_bin: str, reads: str, paf: str) -> float:
 
 
 _BEST = {"ours": float("inf"), "ref": float("inf"),
-         "ref_par": float("nan"), "pallas_ok": None,
+         "ref_par": float("nan"), "pallas_ok": None, "pallas_gate": None,
          "cpu_backend": float("nan"),
          # per-round wall arrays (drift forensics, VERDICT r3 item 2):
          # warm-up excluded from ours_rounds (it carries program-load)
@@ -174,9 +174,12 @@ def check_pallas_parity(reads: str, paf: str) -> bool | None:
         best = kernel_capable
     if best is None:
         # on TPU, native lib present, yet NO kernel-compilable bucket:
-        # make the gate's absence visible instead of looking like
-        # "not on TPU" (ADVICE r3 item 2)
-        return "no_eligible_shape"
+        # make the gate's absence visible under its OWN key instead of a
+        # truthy string in pallas_ok (ADVICE r3 item 2 + r4 item 1) —
+        # pallas_ok stays bool|None so truthiness-gating consumers never
+        # read a skipped check as a pass
+        _BEST["pallas_gate"] = "no_eligible_shape"
+        return None
     bk = best
     cfg_s = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=False)
     cfg_p = derive_cfg(bk.B, bk.W, bk.E, params, use_pallas=True)
@@ -235,6 +238,8 @@ def _emit_json(ours_best: float, ref_reads_per_s: float,
         reads_per_s / (ref_reads_per_s * n_proc), 3)
     if _BEST["pallas_ok"] is not None:
         out["pallas_ok"] = _BEST["pallas_ok"]
+    if _BEST["pallas_gate"] is not None:
+        out["pallas_gate"] = _BEST["pallas_gate"]
     cpu_s = _BEST["cpu_backend"]
     if cpu_s == cpu_s and cpu_s > 0:  # not NaN
         out["cpu_backend_reads_per_s"] = round(N_READS / cpu_s, 1)

@@ -1559,7 +1559,10 @@ RaftGroupedEv* raftio_group_events(
   auto put = [&](int32_t rid, int64_t lo, int64_t hi) {
     const int64_t k = cur[rid]++;
     g->w0[k] = floordiv32(lo, reso);  // numpy floor-division semantics
-    g->w1[k] = hi < 0 ? -1 : static_cast<int32_t>(hi / reso);
+    // floor-div w1 too so --no-strict traces of garbage intervals are
+    // bit-identical with the numpy fallback (hi=-150,reso=100 -> -2,
+    // not -1); any negative w1 is still an empty interval downstream
+    g->w1[k] = floordiv32(hi, reso);
     if (lo < 0 || hi >= lens[rid]) oob++;
   };
   for (int64_t r = 0; r < n_rows; r++) {

@@ -489,6 +489,9 @@ def _record_shape_families(keys) -> None:
     for cfg, aspecs in keys:
         entries.append({"cfg": dataclasses.asdict(cfg),
                         "args": [[list(s), d] for s, d in aspecs]})
+    # cap applies to THIS run's entries too, not just merged-in old ones
+    # (ADVICE r4 item 2) — an uncapped file lengthens speculative replay
+    del entries[_SHAPE_WARM_MAX:]
     try:
         with open(_SHAPE_WARM_PATH) as f:
             old = json.load(f)

@@ -465,44 +465,61 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         pre_fut = _pre_pool.submit(native.preparse_paf, paf_path)
         _pre_pool.shutdown(wait=False)
 
-    with _Timer(stats, "index"):
-        idx = native.index_reads(read_path)
-    if idx is None or idx["n"] == 0:
-        if pre_fut is not None:
-            pre = pre_fut.result()
+    def _drain_preparse():
+        # join + free the preparse worker on EVERY exit that did not
+        # consume it (ADVICE r4 item 3): otherwise an index/resolve
+        # error leaves the non-daemon worker tokenizing for ~10+ s at
+        # 512k scale after the exception, and leaks the C handle.
+        nonlocal pre_fut
+        if pre_fut is None:
+            return
+        fut, pre_fut = pre_fut, None
+        try:
+            pre = fut.result()
             if pre is not None:
                 pre.close()
-        return None
-    n = idx["n"]
-    if verbose:
-        print(f"Real Reads {int(idx['real_reads'])} ")
+        except Exception:
+            pass
 
-    bins = None
-    table = None
-    if spill_paf:
-        with _Timer(stats, "load_paf"):
-            bins = native.bin_paf_events(paf_path, idx, n, chunk_reads)
-        if bins is not None and strict and bins.n_unknown:
-            bins.close()
-            raise ValueError(
-                f"PAF names {bins.n_unknown} read(s) absent from the input "
-                "FASTA (undefined behavior in reference RAFT); "
-                "pass strict=False to drop them")
-    if bins is None:
-        with _Timer(stats, "load_paf"):
-            # PAF interns against the index handle's global name map
-            class _IdxStore:
-                pass
-            shim = _IdxStore()
-            shim._native_handle = idx["handle"]
-            if pre_fut is not None:
-                pre = pre_fut.result()
-                if pre is not None:
-                    table = native.resolve_paf(pre, shim)
-            if table is None:
-                table = native.load_paf(paf_path, shim)
-            if table is None:
-                return None
+    try:
+        with _Timer(stats, "index"):
+            idx = native.index_reads(read_path)
+        if idx is None or idx["n"] == 0:
+            _drain_preparse()
+            return None
+        n = idx["n"]
+        if verbose:
+            print(f"Real Reads {int(idx['real_reads'])} ")
+
+        bins = None
+        table = None
+        if spill_paf:
+            with _Timer(stats, "load_paf"):
+                bins = native.bin_paf_events(paf_path, idx, n, chunk_reads)
+            if bins is not None and strict and bins.n_unknown:
+                bins.close()
+                raise ValueError(
+                    f"PAF names {bins.n_unknown} read(s) absent from the "
+                    "input FASTA (undefined behavior in reference RAFT); "
+                    "pass strict=False to drop them")
+        if bins is None:
+            with _Timer(stats, "load_paf"):
+                # PAF interns against the index handle's global name map
+                class _IdxStore:
+                    pass
+                shim = _IdxStore()
+                shim._native_handle = idx["handle"]
+                if pre_fut is not None:
+                    fut, pre_fut = pre_fut, None
+                    pre = fut.result()
+                    if pre is not None:
+                        table = native.resolve_paf(pre, shim)
+                if table is None:
+                    table = native.load_paf(paf_path, shim)
+                if table is None:
+                    return None
+    finally:
+        _drain_preparse()
 
     symmetric = bins.symmetric if bins is not None else table.symmetric
     n_paf_rows = bins.n_rows if bins is not None else table.n_rows
