@@ -1559,10 +1559,11 @@ RaftGroupedEv* raftio_group_events(
   auto put = [&](int32_t rid, int64_t lo, int64_t hi) {
     const int64_t k = cur[rid]++;
     g->w0[k] = floordiv32(lo, reso);  // numpy floor-division semantics
-    // floor-div w1 too so --no-strict traces of garbage intervals are
-    // bit-identical with the numpy fallback (hi=-150,reso=100 -> -2,
-    // not -1); any negative w1 is still an empty interval downstream
-    g->w1[k] = floordiv32(hi, reso);
+    // hi<0 -> w1=-1 matches EVERY python binning site (oracle.py:58,
+    // engine_jax.py:657, bucketing.py:152 all np.where(hi<0, -1, ...)),
+    // so --no-strict traces of garbage intervals are bit-identical by
+    // path; guarded by test_native_io.py::test_negative_interval_binning
+    g->w1[k] = hi < 0 ? -1 : static_cast<int32_t>(hi / reso);
     if (lo < 0 || hi >= lens[rid]) oob++;
   };
   for (int64_t r = 0; r < n_rows; r++) {

@@ -114,18 +114,29 @@ def _est_cov_hint(stats: "RunStats", params: AlgoParams) -> None:
     if not stats.total_windows or params.est_cov <= 0:
         return
     ratio = stats.coverage_per_window / params.est_cov
-    if ratio > 1.5:
+    # Thresholds calibrated to the r4 sweep (EVAL.md, VERDICT r4 item
+    # 6): a 0.75x under-estimate (observed/supplied ~= 1.33) ALREADY
+    # halves flank-tolerant precision (0.995 -> 0.40 at 2 Mbp, 0.11 at
+    # 10 Mbp), so the under-estimate hint must fire before 1.33, not at
+    # the old 1.5. Over-estimates are harmless at 1.5x (ratio 0.67) and
+    # cost recall at 2x (ratio 0.5, recall 0.82-0.98), so warn from
+    # ratio < 0.6 — between the last-known-safe and first-damaged
+    # points.
+    if ratio > 1.25:
         print(f"HINT: observed coverage per window ({ratio:.2f}x the "
               f"supplied -e {params.est_cov}) suggests est_cov is "
-              "UNDER-estimated; low -e collapses repeat precision and "
-              "suppresses fragmentation (EVAL.md). Consider -e nearer "
-              f"{stats.coverage_per_window:.0f}.", file=sys.stderr)
-    elif ratio < 0.5:
+              "UNDER-estimated; a 0.75x under-estimate already halves "
+              "repeat precision and suppresses fragmentation (EVAL.md "
+              "sweep). Consider -e nearer "
+              f"{stats.coverage_per_window:.0f}, or --auto-e.",
+              file=sys.stderr)
+    elif ratio < 0.6:
         print(f"HINT: observed coverage per window is only {ratio:.2f}x "
-              f"the supplied -e {params.est_cov}; a >2x over-estimate "
+              f"the supplied -e {params.est_cov}; a 2x over-estimate "
               "makes true repeats miss the high-coverage threshold "
-              "(recall loss, EVAL.md). Consider -e nearer "
-              f"{stats.coverage_per_window:.0f}.", file=sys.stderr)
+              "(recall 1.0 -> 0.82-0.98, EVAL.md sweep). Consider -e "
+              f"nearer {stats.coverage_per_window:.0f}, or --auto-e.",
+              file=sys.stderr)
 
 
 def _sum_output_bytes(prefix: str, sfx: str) -> int:

@@ -269,3 +269,47 @@ def test_index_lens_crlf(tmp_path):
     np.testing.assert_array_equal(np.asarray(idx["lens"]), [6, 4])
     store = load_reads(str(p))
     np.testing.assert_array_equal(np.asarray(store.lens), [6, 4])
+
+
+def test_negative_interval_binning_matches_python():
+    """--no-strict garbage intervals (a_end <= 0 so hi = a_end-1 < 0,
+    negative starts) must bin IDENTICALLY in the native group_events
+    pass and the python convention (w0 = floor(lo/reso);
+    w1 = -1 when hi < 0 else hi/reso — oracle.py:58, engine_jax.py:657,
+    bucketing.py:152). ADVICE r4 item 4 claimed the paths diverge here;
+    this pins them bit-identical either way."""
+    from raft_tpu.io import native
+    from raft_tpu.io.paf import OverlapTable
+
+    a_id = np.array([0, 1, 2, 0], dtype=np.int32)
+    b_id = np.array([1, 0, 2, 2], dtype=np.int32)
+    a_s = np.array([-150, -1, 0, 37], dtype=np.int32)
+    a_e = np.array([-149, 0, -300, 120], dtype=np.int32)
+    b_s = np.array([0, -75, 0, -10], dtype=np.int32)
+    b_e = np.array([50, -20, 0, -9], dtype=np.int32)
+    tab = OverlapTable(a_id, b_id, a_s, a_e, b_s, b_e,
+                       symmetric=False, n_names=3)
+    lens = np.array([500, 500, 500], dtype=np.int64)
+    reso = 100
+    g = native.group_events(tab, 3, lens, reso)
+    if g is None:
+        pytest.skip("native library unavailable")
+    off, w0, w1, n_unknown, n_oob = g
+
+    # python-convention reference for the same event stream
+    ev_read, ev_lo, ev_hi = tab.events(3, strict=False)
+    order = np.argsort(ev_read, kind="stable")
+    ev_read, ev_lo, ev_hi = ev_read[order], ev_lo[order], ev_hi[order]
+    py_w0 = (ev_lo.astype(np.int64) // reso).astype(np.int32)
+    py_w1 = np.where(ev_hi < 0, -1,
+                     ev_hi.astype(np.int64) // reso).astype(np.int32)
+
+    assert off[-1] == len(ev_read)
+    # native groups by read with A-side-then-B-side file order per read;
+    # compare as per-read multisets of (w0, w1) pairs
+    bounds = np.searchsorted(ev_read, np.arange(4))
+    for r in range(3):
+        nat = sorted(zip(w0[off[r]:off[r + 1]], w1[off[r]:off[r + 1]]))
+        ref = sorted(zip(py_w0[bounds[r]:bounds[r + 1]],
+                         py_w1[bounds[r]:bounds[r + 1]]))
+        assert nat == ref, f"read {r}: native {nat} != python {ref}"
