@@ -1587,6 +1587,59 @@ const int32_t* rge_w1(RaftGroupedEv* g) { return g->w1.data(); }
 int64_t rge_n_unknown(RaftGroupedEv* g) { return g->n_unknown; }
 int64_t rge_n_oob(RaftGroupedEv* g) { return g->n_oob; }
 
+// Per-window coverage histogram over read-grouped window-binned events
+// (the --auto-e est_cov estimator's input; raft_tpu/auto_e.py). Same
+// per-read diff+cumsum reconstruction as raftio_emit_coverage_events'
+// render, but reduced to a bincount — the O(total windows) coverage
+// array itself is never materialized. hist[min(cov, hist_len-1)] += 1
+// for every window; threaded over read ranges with per-thread
+// histograms merged at the end. Returns 0 on success.
+int raftio_cov_hist(const int32_t* w0, const int32_t* w1,
+                    const int64_t* ev_off, const int64_t* lens,
+                    int64_t n_reads, int32_t reso,
+                    int64_t* hist, int64_t hist_len) {
+  if (reso <= 0 || hist_len <= 0) return -1;
+  std::fill(hist, hist + hist_len, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int nth = static_cast<int>(std::min<unsigned>(hw ? hw : 1, 8));
+  if (n_reads < 1024) nth = 1;
+  std::vector<std::vector<int64_t>> th_hist(
+      static_cast<size_t>(nth), std::vector<int64_t>(
+          static_cast<size_t>(hist_len), 0));
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    int64_t lo_r = n_reads * t / nth, hi_r = n_reads * (t + 1) / nth;
+    int64_t* h = th_hist[static_cast<size_t>(t)].data();
+    std::vector<int32_t> diff;
+    for (int64_t i = lo_r; i < hi_r; i++) {
+      int64_t nw = (lens[i] + reso - 1) / reso;
+      if (nw <= 0) continue;
+      diff.assign(static_cast<size_t>(nw + 1), 0);
+      for (int64_t j = ev_off[i]; j < ev_off[i + 1]; j++) {
+        int64_t a = w0[j];
+        int64_t b = w1[j];
+        if (b < a || a < 0 || a >= nw) continue;
+        if (b >= nw) b = nw - 1;
+        diff[static_cast<size_t>(a)]++;
+        diff[static_cast<size_t>(b + 1)]--;
+      }
+      int64_t c = 0;
+      for (int64_t k = 0; k < nw; k++) {
+        c += diff[static_cast<size_t>(k)];
+        int64_t bin = c < 0 ? 0 : (c >= hist_len ? hist_len - 1 : c);
+        h[bin]++;
+      }
+    }
+  };
+  for (int t = 1; t < nth; t++) threads.emplace_back(work, t);
+  work(0);
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < nth; t++)
+    for (int64_t c = 0; c < hist_len; c++)
+      hist[c] += th_hist[static_cast<size_t>(t)][static_cast<size_t>(c)];
+  return 0;
+}
+
 void raftio_free_paf(RaftPaf* pf) { delete pf; }
 int64_t rp_n_rows(RaftPaf* pf) { return static_cast<int64_t>(pf->a_id.size()); }
 int rp_symmetric(RaftPaf* pf) { return pf->symmetric; }

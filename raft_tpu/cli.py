@@ -106,7 +106,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
     extras = {"engine": "jax", "strict": True, "use_native": None,
               "profile": False, "pallas": None, "stats_json": None,
               "chunk_reads": None, "devices": None, "spill_paf": None,
-              "gz_out": False, "cov_out": None, "trace": None}
+              "gz_out": False, "cov_out": None, "trace": None,
+              "auto_e": False}
 
     # Strip rebuild-only long options first (they are NOT part of the
     # reference surface and must not disturb getopt compat).
@@ -123,6 +124,8 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
             extras["engine"] = a.split("=", 1)[1]
         elif a == "--no-strict":
             extras["strict"] = False
+        elif a == "--auto-e":
+            extras["auto_e"] = True
         elif a == "--pure-python-io":
             extras["use_native"] = False
         elif a == "--profile":
@@ -172,6 +175,10 @@ def parse_args(argv: list[str], compat_getopt: bool = True):
                 "  --pallas / --no-pallas  force the Pallas MXU pileup\n"
                 "                          kernel on/off (default: per-\n"
                 "                          bucket auto policy on TPU)\n"
+                "  --auto-e                estimate est_cov (-e) from the\n"
+                "                          data (median per-window pileup\n"
+                "                          coverage + safety bias; see\n"
+                "                          EVAL.md) — -e becomes optional\n"
                 "  --no-strict             drop out-of-bounds/unknown-read\n"
                 "                          PAF rows instead of erroring\n"
                 "  --pure-python-io        disable the native C++ I/O library\n"
@@ -254,12 +261,16 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     params, reads_path, paf_path, extras = parse_args(argv)
 
-    if params.est_cov <= 0:
+    if params.est_cov <= 0 and not extras["auto_e"]:
         print("ERROR, main(), estimated coverage must be set properly")
         print_help(params)
         raise SystemExit(1)
 
     for line in params.info_lines():
+        if extras["auto_e"] and line.endswith("est_cov = 0"):
+            # the estimate is printed on stderr once the data is read;
+            # this mode is an extension, stdout parity does not apply
+            line = line[:-1] + "auto"
         print(line)
 
     t0 = time.perf_counter()
@@ -272,7 +283,9 @@ def main(argv: list[str] | None = None) -> int:
         mesh = make_mesh(extras["devices"])
     from raft_tpu import profiling
     try:
-        params.validate()
+        # --auto-e: est_cov is data-derived later; validate the rest
+        (params.replace(est_cov=1) if extras["auto_e"] and
+         params.est_cov <= 0 else params).validate()
     except ValueError as e:
         # parameter rejections (incl. reference-UB domains, PARITY.md
         # "Deliberate divergences") are user errors, not tracebacks
@@ -286,7 +299,8 @@ def main(argv: list[str] | None = None) -> int:
                              chunk_reads=extras["chunk_reads"],
                              spill_paf=extras["spill_paf"],
                              gz_out=extras["gz_out"],
-                             cov_out=extras["cov_out"])
+                             cov_out=extras["cov_out"],
+                             auto_e=extras["auto_e"])
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

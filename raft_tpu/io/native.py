@@ -136,6 +136,11 @@ def _configure(lib):
                    ("rge_n_unknown", C.c_int64), ("rge_n_oob", C.c_int64)):
         getattr(lib, nm).restype = rt
         getattr(lib, nm).argtypes = [C.c_void_p]
+    lib.raftio_cov_hist.restype = C.c_int
+    lib.raftio_cov_hist.argtypes = [
+        i32p, i32p, i64p, i64p,        # w0, w1, ev_off, lens
+        C.c_int64, C.c_int32,          # n_reads, reso
+        i64p, C.c_int64]               # hist out, hist_len
     lib.raftio_emit_frags_full.restype = C.c_int
     lib.raftio_emit_frags_full.argtypes = [
         C.c_char_p,              # path
@@ -435,6 +440,26 @@ def group_events(table, n_reads: int, lens: np.ndarray, reso: int):
                 int(lib.rge_n_oob(ptr)))
     finally:
         lib.raftio_free_grouped(ptr)
+
+
+def cov_hist(w0: np.ndarray, w1: np.ndarray, ev_off: np.ndarray,
+             lens: np.ndarray, reso: int, hist_len: int = 65536):
+    """Per-window coverage histogram from read-grouped window-binned
+    events (one threaded native pass; the coverage array itself is never
+    materialized). Returns int64 [hist_len] with the top bin clamped, or
+    None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w0 = np.ascontiguousarray(w0, dtype=np.int32)
+    w1 = np.ascontiguousarray(w1, dtype=np.int32)
+    ev_off = np.ascontiguousarray(ev_off, dtype=np.int64)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    n = len(lens64)
+    hist = np.zeros(hist_len, dtype=np.int64)
+    rc = lib.raftio_cov_hist(w0, w1, ev_off, lens64, int(n), int(reso),
+                             hist, int(hist_len))
+    return hist if rc == 0 else None
 
 
 class PafBins:

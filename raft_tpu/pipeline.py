@@ -98,6 +98,29 @@ class _Timer:
             + time.perf_counter() - self.t0)
 
 
+def _apply_auto_e(params: AlgoParams, info: dict) -> AlgoParams:
+    """Fold an --auto-e estimate into the params; stderr reporting.
+
+    The estimate replaces any supplied ``-e`` (reported when they
+    disagree). A no-signal input (no covered window) is an error: the
+    estimator cannot invent a threshold, and silently running with a
+    default would produce garbage fragmentation."""
+    est = info["est_cov"]
+    if est <= 0:
+        raise ValueError(
+            "--auto-e: no covered window in the input (every overlap "
+            "interval empty or out of range) — est_cov cannot be "
+            "estimated; supply -e explicitly")
+    from raft_tpu.auto_e import SAFETY_MUL
+    msg = (f"INFO, --auto-e estimated est_cov = {est} (median per-window "
+           f"coverage {info['refined_median']}, x{SAFETY_MUL:g} safety "
+           f"bias, {info['nonzero_windows']} covered windows)")
+    if params.est_cov > 0 and params.est_cov != est:
+        msg += f"; ignoring supplied -e {params.est_cov}"
+    print(msg, file=sys.stderr)
+    return params.replace(est_cov=est)
+
+
 def _est_cov_hint(stats: "RunStats", params: AlgoParams) -> None:
     """stderr advisory when ``-e`` looks mis-specified.
 
@@ -239,6 +262,7 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                  spill_paf: bool | None = None,
                  gz_out: bool = False,
                  cov_out: str | None = None,
+                 auto_e: bool = False,
                  ) -> RunStats:
     """Full RAFT run: parse, compute, emit the four output files.
 
@@ -286,7 +310,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
                                    chunk_reads, strict=strict,
                                    verbose=verbose, use_pallas=use_pallas,
                                    mesh=mesh, spill_paf=spill_paf,
-                                   gz_out=gz_out, cov_out=cov_out)
+                                   gz_out=gz_out, cov_out=cov_out,
+                                   auto_e=auto_e)
         if st is not None:
             return st
         if verbose:
@@ -296,7 +321,9 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
             import sys as _sys
             print("INFO, streaming mode unavailable for this input; "
                   "running whole-file", file=_sys.stderr)
-    params.validate()
+    # --auto-e: est_cov is estimated from the data once the overlap
+    # events are loaded; validate everything else now with a stand-in
+    (params.replace(est_cov=1) if auto_e else params).validate()
     _validate_inputs(read_path, paf_path)
     stats = RunStats()
 
@@ -335,6 +362,13 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
 
     params = params.replace(real_reads=store.real_reads,
                             symmetric_overlaps=table.symmetric)
+    if auto_e:
+        from raft_tpu import auto_e as _auto_e
+        with _Timer(stats, "auto_e"):
+            info, _ = _auto_e.estimate_for_table(
+                table, store.lens.astype(np.int64), store.n_reads,
+                params.reso, params.cov_mul, strict=strict)
+        params = _apply_auto_e(params, info)
     if verbose:
         print(f"high_cov {params.high_cov}")
 
@@ -382,7 +416,10 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         print("coverage per window/average coverage is "
               f"{stats.coverage_per_window / params.est_cov:f} ")
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
-        _est_cov_hint(stats, params)
+        if not auto_e:
+            # in auto mode the threshold came FROM the data; the
+            # mis-specification advisory would only confuse
+            _est_cov_hint(stats, params)
 
     with _Timer(stats, "emit"):
         # the four writers touch disjoint files and release the GIL in
@@ -417,7 +454,8 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                           mesh=None,
                           spill_paf: bool | None = None,
                           gz_out: bool = False,
-                          cov_out: str | None = None) -> RunStats | None:
+                          cov_out: str | None = None,
+                          auto_e: bool = False) -> RunStats | None:
     """Streaming pipeline: index pass → full PAF → per-chunk byte-range
     parse, compute, and append-emit with global numbering offsets.
 
@@ -437,7 +475,7 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
     from raft_tpu.engine_jax import compute_jax
     from raft_tpu.io.paf import OverlapTable
 
-    params.validate()
+    (params.replace(est_cov=1) if auto_e else params).validate()
     _validate_inputs(read_path, paf_path)
     stats = RunStats()
 
@@ -540,15 +578,16 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
 
     params = params.replace(real_reads=idx["real_reads"],
                             symmetric_overlaps=symmetric)
-    if verbose:
-        print(f"high_cov {params.high_cov}")
 
     g_off = g_w0 = g_w1 = None
     if bins is None:
         # Whole-input grouped events in ONE native counting-sort pass
         # (window-binned, read-grouped) using the lens the index scan
         # recorded: replaces events() + argsort + per-chunk searchsorted
-        # — measured ~42 s of untimed numpy at 512k scale (r4).
+        # — measured ~42 s of untimed numpy at 512k scale (r4). Runs
+        # before the high_cov print because --auto-e derives est_cov
+        # (hence high_cov) from these events; stdout line ORDER is
+        # unchanged either way.
         idx_lens = idx.get("lens")
         with _Timer(stats, "group_events"):
             if idx_lens is not None and len(idx_lens) == n:
@@ -564,6 +603,42 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
                 ev_read = ev_read[order]
                 ev_lo = ev_lo[order]
                 ev_hi = ev_hi[order]
+
+    if auto_e:
+        from raft_tpu import auto_e as _auto_e
+        with _Timer(stats, "auto_e"):
+            idx_lens = idx.get("lens")
+            if bins is not None:
+                if idx_lens is None or len(idx_lens) != n:
+                    raise ValueError(
+                        "--auto-e with --spill-paf needs the native "
+                        "index's read lengths; rerun without --spill-paf "
+                        "or supply -e explicitly")
+                info = _auto_e.estimate_for_bins(
+                    bins, idx_lens, params.reso, params.cov_mul,
+                    chunk_reads)
+            elif g_off is not None:
+                info = _auto_e.estimate_from_hist(
+                    _auto_e.cov_histogram_grouped(
+                        g_off, g_w0, g_w1,
+                        np.asarray(idx_lens, dtype=np.int64),
+                        params.reso),
+                    params.cov_mul)
+            else:
+                if idx_lens is None or len(idx_lens) != n:
+                    raise ValueError(
+                        "--auto-e in streaming mode needs the native "
+                        "index's read lengths; run whole-file "
+                        "(--chunk-reads 0) or supply -e explicitly")
+                info = _auto_e.estimate_from_hist(
+                    _auto_e.cov_histogram_events(
+                        ev_read, ev_lo, ev_hi,
+                        np.asarray(idx_lens, dtype=np.int64),
+                        params.reso),
+                    params.cov_mul)
+        params = _apply_auto_e(params, info)
+    if verbose:
+        print(f"high_cov {params.high_cov}")
 
     # Software pipeline across chunks: chunk k+1's LOAD prefetches while
     # chunk k computes, and chunk k's EMIT runs while k+1 computes. Four
@@ -775,7 +850,10 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
         print("coverage per window/average coverage is "
               f"{stats.coverage_per_window / params.est_cov:f} ")
         print(f"fraction_of_repeat_length {stats.fraction_repeat:f} ")
-        _est_cov_hint(stats, params)
+        if not auto_e:
+            # in auto mode the threshold came FROM the data; the
+            # mis-specification advisory would only confuse
+            _est_cov_hint(stats, params)
     return stats
 
 

@@ -183,7 +183,7 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
              coverage: float = 30.0, repeat_fams: int = 3,
              repeat_len: int = 15000, copies: int = 4, seed: int = 11,
              engine: str = "jax", verbose: bool = True,
-             est_cov_scale: float = 1.0) -> dict:
+             est_cov_scale: float = 1.0, auto_e: bool = False) -> dict:
     """One simulation + one evaluation point.
 
     ``est_cov_scale`` mis-specifies ``-e`` on purpose: the reference's
@@ -199,7 +199,7 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
     info = write_simulation(prefix, genome_size, coverage, repeat_fams,
                             repeat_len, copies, seed=seed)
     out = _eval_point(workdir, prefix, info, genome_size, engine,
-                      est_cov_scale)
+                      est_cov_scale, auto_e=auto_e)
     if verbose:
         print(json.dumps(out), flush=True)
     return out
@@ -207,14 +207,32 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
 
 def _eval_point(workdir: str, prefix: str, info: dict, genome_size: int,
                 engine: str, est_cov_scale: float,
-                loaded=None) -> dict:
+                loaded=None, auto_e: bool = False) -> dict:
     """Score one (simulation, est_cov_scale) point. ``loaded`` optionally
     carries a pre-parsed (store, table) so sweeps don't re-parse the same
-    inputs per scale."""
+    inputs per scale. ``auto_e`` scores the --auto-e mode instead: the
+    user-supplied scale is IGNORED and est_cov comes from the data
+    (derived here exactly as run_pipeline's --auto-e derives it —
+    tests/test_auto_e.py proves the byte equivalence)."""
     from raft_tpu.params import AlgoParams
     from raft_tpu.pipeline import run_pipeline
 
-    est_cov = max(1, int(round(info["est_cov"] * est_cov_scale)))
+    if auto_e:
+        from raft_tpu import auto_e as _ae
+        from raft_tpu.io.fasta import load_reads
+        from raft_tpu.io.paf import load_paf
+        if loaded is None:
+            _store = load_reads(prefix + ".reads.fasta")
+            _table = load_paf(prefix + ".overlaps.paf", _store)
+        else:
+            _store, _table = loaded
+        dflt = AlgoParams()
+        einfo, _ = _ae.estimate_for_table(
+            _table, np.asarray(_store.lens, dtype=np.int64),
+            _store.n_reads, dflt.reso, dflt.cov_mul)
+        est_cov = einfo["est_cov"]
+    else:
+        est_cov = max(1, int(round(info["est_cov"] * est_cov_scale)))
 
     # full product run (all four outputs, emitted through the real path)
     params = AlgoParams(est_cov=est_cov,
@@ -282,7 +300,8 @@ def _eval_point(workdir: str, prefix: str, info: dict, genome_size: int,
             ncuts_in_repeat / max(len(ncuts), 1), 4),
         "fraction_repeat_stat": round(st.fraction_repeat, 4),
         "est_cov_used": est_cov,
-        "est_cov_scale": est_cov_scale,
+        "est_cov_scale": None if auto_e else est_cov_scale,
+        "auto_e": auto_e,
     }
     return out
 
@@ -311,9 +330,12 @@ def run_sweep(workdir: str, genome_size: int = 2_000_000,
                                 repeat_len, copies, seed=seed)
         store = load_reads(prefix + ".reads.fasta")
         table = load_paf(prefix + ".overlaps.paf", store)
-        for scale in scales:
-            r = _eval_point(wd, prefix, info, genome_size, engine, scale,
-                            loaded=(store, table))
+        points = [dict(scale=sc, auto=False) for sc in scales]
+        points.append(dict(scale=1.0, auto=True))  # the --auto-e row
+        for pt in points:
+            r = _eval_point(wd, prefix, info, genome_size, engine,
+                            pt["scale"], loaded=(store, table),
+                            auto_e=pt["auto"])
             r["seed"] = seed
             r["genome_size"] = genome_size
             rows.append(r)
@@ -335,6 +357,9 @@ def main(argv=None) -> int:
     ap.add_argument("--est-cov-scale", type=float, default=1.0,
                     help="evaluate with -e at this multiple of the true "
                          "coverage (sensitivity analysis)")
+    ap.add_argument("--auto-e", action="store_true",
+                    help="score the --auto-e mode (data-estimated "
+                         "est_cov; --est-cov-scale is ignored)")
     ap.add_argument("--sweep", action="store_true",
                     help="run the full est_cov sensitivity sweep "
                          f"(scales {SWEEP_SCALES}, seeds 11+23) instead "
@@ -347,7 +372,7 @@ def main(argv=None) -> int:
     else:
         run_eval(a.workdir, a.genome_size, a.coverage, a.repeat_fams,
                  a.repeat_len, a.copies, a.seed, a.engine,
-                 est_cov_scale=a.est_cov_scale)
+                 est_cov_scale=a.est_cov_scale, auto_e=a.auto_e)
     return 0
 
 

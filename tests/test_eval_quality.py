@@ -50,6 +50,20 @@ def test_est_cov_sensitivity_shape(tmp_path):
         <= 0.02 * mid["n_fragments"], (mid, hi)
 
 
+@pytest.mark.slow
+def test_auto_e_quality(tmp_path):
+    """--auto-e must match central-point quality with NO user-supplied
+    -e (EVAL.md r5: auto estimate 34-35 on 30x inputs lands in the
+    measured-safe [1.1x, 1.5x] band)."""
+    out = run_eval(str(tmp_path), genome_size=2_000_000, coverage=30.0,
+                   verbose=False, auto_e=True)
+    assert 31 <= out["est_cov_used"] <= 45, out  # 1.05x-1.5x of true 30
+    assert out["bed_recall"] >= 0.95, out
+    assert out["bed_precision_flank_tolerant"] >= 0.95, out
+    assert out["cut_in_repeat_rate"] <= 0.06, out
+    assert out["n_fragments"] > out["n_reads"], out
+
+
 def test_interval_algebra():
     """Unit: merge/intersect/points_in on hand-checked cases."""
     import numpy as np
