@@ -717,112 +717,140 @@ def _run_pipeline_chunked(read_path: str, paf_path: str, params: AlgoParams,
               for lo in range(0, n, chunk_reads)]
     recs = [dict(ci=ci, lo=lo, hi=hi) if trace is not None else None
             for ci, (lo, hi) in enumerate(chunks)]
-    next_fut = load_pool.submit(_load_chunk, *chunks[0], rec=recs[0])
-    pending: deque = deque()
-    frag_num = 1
-    for ci, (lo, hi) in enumerate(chunks):
-        first = ci == 0
-        rec = recs[ci]
-        t_wait = time.perf_counter()
-        with _Timer(stats, "load_reads"):
-            store, sub_table = next_fut.result()
-        if rec is not None:
-            rec["wait_load_s"] = round(time.perf_counter() - t_wait, 3)
-        if ci + 1 < len(chunks):
-            next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1],
-                                        rec=recs[ci + 1])
-        t_drain = time.perf_counter()
-        # bound resident chunks: current + prefetched + RAFT_CHUNK_PENDING
-        # still-emitting (default 2 ≈ one extra chunk store resident, so
-        # a transient emit lag no longer blocks the main loop — measured
-        # 25 s of drain stalls at 512k with the old bound of 1)
-        max_pending = max(1, int(os.environ.get("RAFT_CHUNK_PENDING", "2")))
-        while len(pending) > max_pending:
-            for f in pending.popleft():
-                f.result()
-        if rec is not None:
-            rec["drain_s"] = round(time.perf_counter() - t_drain, 3)
 
-        # coverage emission overlaps this chunk's device stage (its only
-        # input — the chunk's binned events — exists before any device
-        # work); the FIFO cov pool preserves append order across chunks
-        cov_fut: list = []
+    def _chunk_loop() -> int:
+        # the full software-pipelined schedule; every emit
+        # future is drained here so any I/O error surfaces
+        # inside the guard below
+        next_fut = load_pool.submit(_load_chunk, *chunks[0], rec=recs[0])
+        pending: deque = deque()
+        frag_num = 1
+        for ci, (lo, hi) in enumerate(chunks):
+            first = ci == 0
+            rec = recs[ci]
+            t_wait = time.perf_counter()
+            with _Timer(stats, "load_reads"):
+                store, sub_table = next_fut.result()
+            if rec is not None:
+                rec["wait_load_s"] = round(time.perf_counter() - t_wait, 3)
+            if ci + 1 < len(chunks):
+                next_fut = load_pool.submit(_load_chunk, *chunks[ci + 1],
+                                            rec=recs[ci + 1])
+            t_drain = time.perf_counter()
+            # bound resident chunks: current + prefetched + RAFT_CHUNK_PENDING
+            # still-emitting (default 2 ≈ one extra chunk store resident, so
+            # a transient emit lag no longer blocks the main loop — measured
+            # 25 s of drain stalls at 512k with the old bound of 1)
+            max_pending = max(1, int(os.environ.get("RAFT_CHUNK_PENDING", "2")))
+            while len(pending) > max_pending:
+                for f in pending.popleft():
+                    f.result()
+            if rec is not None:
+                rec["drain_s"] = round(time.perf_counter() - t_drain, 3)
 
-        def _on_cov(early_res, _lo=lo, _app=not first, _rec=rec):
-            if _rec is not None:
-                cov_fut.append(cov_pool.submit(
-                    _timed_emit, emit.write_coverage, _rec, "emit_cov_s",
-                    prefix + ".coverage.txt" + sfx, params.reso, early_res,
-                    first_read_index=_lo, append=_app, gz=gz_out))
-            else:
-                cov_fut.append(cov_pool.submit(
+            # coverage emission overlaps this chunk's device stage (its only
+            # input — the chunk's binned events — exists before any device
+            # work); the FIFO cov pool preserves append order across chunks
+            cov_fut: list = []
+
+            def _on_cov(early_res, _lo=lo, _app=not first, _rec=rec):
+                if _rec is not None:
+                    cov_fut.append(cov_pool.submit(
+                        _timed_emit, emit.write_coverage, _rec, "emit_cov_s",
+                        prefix + ".coverage.txt" + sfx, params.reso, early_res,
+                        first_read_index=_lo, append=_app, gz=gz_out))
+                else:
+                    cov_fut.append(cov_pool.submit(
+                        emit.write_coverage, prefix + ".coverage.txt" + sfx,
+                        params.reso, early_res, first_read_index=_lo,
+                        append=_app, gz=gz_out))
+
+            eng_timers: dict = {}
+            t_comp = time.perf_counter()
+            with _Timer(stats, "compute"):
+                res = compute_jax(store, sub_table, params, strict=strict,
+                                  use_pallas=use_pallas, mesh=mesh,
+                                  cov_out=cov_out, on_cov_events=_on_cov,
+                                  timers_out=eng_timers if rec is not None
+                                  else None)
+            if rec is not None:
+                t1 = time.perf_counter()
+                rec["compute_s"] = round(t1 - t_comp, 3)
+                rec["compute_span"] = [round(t_comp - T0, 3), round(t1 - T0, 3)]
+                rec["engine"] = {k: round(v, 3) for k, v in eng_timers.items()}
+                rec["n_events"] = int(sub_table.n_rows)
+
+            frag_base = frag_num
+            frag_num += res.n_frags
+            stats.total_coverage += res.total_coverage
+            stats.total_windows += res.total_windows
+            stats.total_repeat_length += res.total_repeat_length
+            stats.total_read_length += res.total_read_length
+
+            if not cov_fut:  # diff8/cov modes: coverage rendered from res
+                cov_fut = [cov_pool.submit(
                     emit.write_coverage, prefix + ".coverage.txt" + sfx,
-                    params.reso, early_res, first_read_index=_lo,
-                    append=_app, gz=gz_out))
+                    params.reso, res, first_read_index=lo, append=not first,
+                    gz=gz_out)]
+            if rec is not None:
+                futs = [
+                    emit_pools[0].submit(
+                        _timed_emit, emit.write_fragments_fasta, rec,
+                        "emit_fasta_s", prefix + ".reads.fasta" + sfx,
+                        store, params, res, first_read_num=frag_base,
+                        append=not first, gz=gz_out),
+                    emit_pools[1].submit(
+                        _timed_emit, emit.write_long_repeats, rec,
+                        "emit_lr_s", prefix + ".long_repeats.txt" + sfx,
+                        res, first_read_index=lo, append=not first, gz=gz_out),
+                    emit_pools[2].submit(
+                        _timed_emit, emit.write_long_repeats_bed, rec,
+                        "emit_bed_s", prefix + ".long_repeats.bed" + sfx,
+                        store, res, append=not first, gz=gz_out),
+                ]
+            else:
+                futs = [
+                    emit_pools[0].submit(
+                        emit.write_fragments_fasta, prefix + ".reads.fasta" + sfx,
+                        store, params, res, first_read_num=frag_base,
+                        append=not first, gz=gz_out),
+                    emit_pools[1].submit(
+                        emit.write_long_repeats, prefix + ".long_repeats.txt" + sfx,
+                        res, first_read_index=lo, append=not first, gz=gz_out),
+                    emit_pools[2].submit(
+                        emit.write_long_repeats_bed,
+                        prefix + ".long_repeats.bed" + sfx, store, res,
+                        append=not first, gz=gz_out),
+                ]
+            pending.append(futs + cov_fut)
 
-        eng_timers: dict = {}
-        t_comp = time.perf_counter()
-        with _Timer(stats, "compute"):
-            res = compute_jax(store, sub_table, params, strict=strict,
-                              use_pallas=use_pallas, mesh=mesh,
-                              cov_out=cov_out, on_cov_events=_on_cov,
-                              timers_out=eng_timers if rec is not None
-                              else None)
-        if rec is not None:
-            t1 = time.perf_counter()
-            rec["compute_s"] = round(t1 - t_comp, 3)
-            rec["compute_span"] = [round(t_comp - T0, 3), round(t1 - T0, 3)]
-            rec["engine"] = {k: round(v, 3) for k, v in eng_timers.items()}
-            rec["n_events"] = int(sub_table.n_rows)
+        with _Timer(stats, "emit"):
+            while pending:
+                for f in pending.popleft():
+                    f.result()
+        return frag_num
 
-        frag_base = frag_num
-        frag_num += res.n_frags
-        stats.total_coverage += res.total_coverage
-        stats.total_windows += res.total_windows
-        stats.total_repeat_length += res.total_repeat_length
-        stats.total_read_length += res.total_read_length
-
-        if not cov_fut:  # diff8/cov modes: coverage rendered from res
-            cov_fut = [cov_pool.submit(
-                emit.write_coverage, prefix + ".coverage.txt" + sfx,
-                params.reso, res, first_read_index=lo, append=not first,
-                gz=gz_out)]
-        if rec is not None:
-            futs = [
-                emit_pools[0].submit(
-                    _timed_emit, emit.write_fragments_fasta, rec,
-                    "emit_fasta_s", prefix + ".reads.fasta" + sfx,
-                    store, params, res, first_read_num=frag_base,
-                    append=not first, gz=gz_out),
-                emit_pools[1].submit(
-                    _timed_emit, emit.write_long_repeats, rec,
-                    "emit_lr_s", prefix + ".long_repeats.txt" + sfx,
-                    res, first_read_index=lo, append=not first, gz=gz_out),
-                emit_pools[2].submit(
-                    _timed_emit, emit.write_long_repeats_bed, rec,
-                    "emit_bed_s", prefix + ".long_repeats.bed" + sfx,
-                    store, res, append=not first, gz=gz_out),
-            ]
-        else:
-            futs = [
-                emit_pools[0].submit(
-                    emit.write_fragments_fasta, prefix + ".reads.fasta" + sfx,
-                    store, params, res, first_read_num=frag_base,
-                    append=not first, gz=gz_out),
-                emit_pools[1].submit(
-                    emit.write_long_repeats, prefix + ".long_repeats.txt" + sfx,
-                    res, first_read_index=lo, append=not first, gz=gz_out),
-                emit_pools[2].submit(
-                    emit.write_long_repeats_bed,
-                    prefix + ".long_repeats.bed" + sfx, store, res,
-                    append=not first, gz=gz_out),
-            ]
-        pending.append(futs + cov_fut)
-
-    with _Timer(stats, "emit"):
-        while pending:
-            for f in pending.popleft():
-                f.result()
+    try:
+        frag_num = _chunk_loop()
+    except BaseException:
+        # mid-run failure (emit I/O error, compute error, load error):
+        # tear the worker pools down WITHOUT waiting on queued work,
+        # release the spill files, and name the partial outputs — a
+        # crashed streaming run must not leave the user guessing which
+        # append-mode files hold truncated data (VERDICT r4 item 4).
+        for p in emit_pools + [cov_pool, load_pool]:
+            p.shutdown(wait=False, cancel_futures=True)
+        if bins is not None:
+            bins.close()
+        partial = [prefix + nm + sfx
+                   for nm in (".reads.fasta", ".coverage.txt",
+                              ".long_repeats.txt", ".long_repeats.bed")
+                   if os.path.exists(prefix + nm + sfx)]
+        if partial:
+            print("ERROR, streaming run aborted mid-emit; these outputs "
+                  "are PARTIAL and must be discarded: "
+                  + " ".join(partial), file=sys.stderr)
+        raise
 
     if trace is not None:
         import json as _json
