@@ -18,6 +18,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <mutex>
 #include <regex>
 #include <string>
 #include <thread>
@@ -850,9 +852,8 @@ RaftFasta* load_fastx_buf_range(const char* p, size_t n, size_t lo,
   return fa;
 }
 
-// Spill a decompressed buffer to a temp file (RAFT_TMPDIR > TMPDIR >
-// /tmp); the index handle owns it and unlinks it on free.
-bool write_temp_decomp(const std::vector<char>& buf, std::string* out) {
+// Temp file in RAFT_TMPDIR > TMPDIR > /tmp; caller owns/unlinks.
+int make_temp_fd(std::string* out_path) {
   const char* dir = getenv("RAFT_TMPDIR");
   if (!dir || !*dir) dir = getenv("TMPDIR");
   if (!dir || !*dir) dir = "/tmp";
@@ -860,20 +861,190 @@ bool write_temp_decomp(const std::vector<char>& buf, std::string* out) {
   std::vector<char> t(tmpl.begin(), tmpl.end());
   t.push_back('\0');
   int fd = mkstemp(t.data());
+  if (fd >= 0) out_path->assign(t.data());
+  return fd;
+}
+
+bool write_full(int fd, const char* p, size_t n);  // defined below
+
+// One background writer thread with a single pending buffer: the
+// producer inflates the NEXT window while this thread writes the
+// previous one — decompress and disk write overlap instead of running
+// serially (the old gz index path inflated the WHOLE input into RAM,
+// then wrote it back: a full-input RAM spike plus inflate+write in
+// sequence; at 12.4 GB that is ~2x the unavoidable wall).
+class PendingWriter {
+ public:
+  explicit PendingWriter(int fd) : fd_(fd) {
+    th_ = std::thread([this]() { run(); });
+  }
+  // blocks until the previous buffer is on disk; false on write error
+  bool submit(std::vector<char>&& buf) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [this]() { return !has_ || fail_; });
+    if (fail_) return false;
+    pend_ = std::move(buf);
+    has_ = true;
+    cv_.notify_all();
+    return true;
+  }
+  bool finish() {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [this]() { return !has_ || fail_; });
+    stop_ = true;
+    cv_.notify_all();
+    lk.unlock();
+    th_.join();
+    return !fail_;
+  }
+  ~PendingWriter() {
+    if (th_.joinable()) finish();
+  }
+
+ private:
+  void run() {
+    std::unique_lock<std::mutex> lk(mu_);
+    for (;;) {
+      cv_.wait(lk, [this]() { return has_ || stop_; });
+      if (has_) {
+        std::vector<char> buf;
+        buf.swap(pend_);
+        has_ = false;
+        cv_.notify_all();
+        lk.unlock();
+        bool ok = write_full(fd_, buf.data(), buf.size());
+        lk.lock();
+        if (!ok) {
+          fail_ = true;
+          cv_.notify_all();
+        }
+      } else if (stop_) {
+        return;
+      }
+    }
+  }
+  int fd_;
+  std::thread th_;
+  std::vector<char> pend_;
+  bool has_ = false, fail_ = false, stop_ = false;
+  std::mutex mu_;
+  std::condition_variable cv_;
+};
+
+// BGZF → fd: inflate 64 MB windows of blocks in parallel, write each
+// window while the next inflates. Bounded memory (2 windows).
+bool bgzf_inflate_to_fd(const char* p, const std::vector<BgzfBlock>& blocks,
+                        int fd) {
+  const int T = n_parse_threads();
+  PendingWriter w(fd);
+  const size_t WIN_BYTES = 64u << 20;
+  const size_t B = blocks.size();
+  size_t k = 0;
+  bool ok = true;
+  while (k < B && ok) {
+    size_t k2 = k, bytes = 0;
+    const size_t base = blocks[k].out_off;
+    while (k2 < B && bytes < WIN_BYTES) bytes += blocks[k2++].isize;
+    std::vector<char> buf(bytes);
+    std::vector<char> fail(static_cast<size_t>(T), 0);
+    std::vector<std::thread> threads;
+    const size_t nb = k2 - k;
+    for (int t = 0; t < T; t++) {
+      threads.emplace_back([&, t]() {
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) {
+          fail[t] = 1;
+          return;
+        }
+        for (size_t j = k + nb * t / T; j < k + nb * (t + 1) / T; j++) {
+          const BgzfBlock& b = blocks[j];
+          if (b.isize == 0) continue;
+          inflateReset(&zs);
+          zs.next_in = reinterpret_cast<Bytef*>(
+              const_cast<char*>(p + b.off + b.data_off));
+          zs.avail_in = b.comp_len;
+          zs.next_out = reinterpret_cast<Bytef*>(
+              buf.data() + (b.out_off - base));
+          zs.avail_out = b.isize;
+          int r = inflate(&zs, Z_FINISH);
+          if (r != Z_STREAM_END || zs.avail_out != 0) {
+            fail[t] = 1;
+            break;
+          }
+        }
+        inflateEnd(&zs);
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < T; t++)
+      if (fail[t]) ok = false;
+    if (ok) ok = w.submit(std::move(buf));
+    k = k2;
+  }
+  bool wok = w.finish();
+  return ok && wok;
+}
+
+// Plain gz → fd: single-stream gzread (inherently serial) but the disk
+// write of chunk k overlaps the inflate of chunk k+1.
+bool gz_stream_to_fd(const char* path, int fd) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  gzbuffer(f, 1 << 20);
+  PendingWriter w(fd);
+  bool ok = true;
+  for (;;) {
+    std::vector<char> chunk(8u << 20);
+    int r = gzread(f, chunk.data(), static_cast<unsigned>(chunk.size()));
+    if (r < 0) {
+      ok = false;
+      break;
+    }
+    if (r == 0) break;
+    chunk.resize(static_cast<size_t>(r));
+    if (!w.submit(std::move(chunk))) {
+      ok = false;
+      break;
+    }
+  }
+  gzclose(f);
+  bool wok = w.finish();
+  return ok && wok;
+}
+
+// Whole gz file → temp file, bounded memory: BGZF block-parallel with
+// overlapped writes, else streaming gzread with overlapped writes.
+bool stream_decomp_to_temp(const char* path, const char* p, size_t n,
+                           std::string* out) {
+  int fd = make_temp_fd(out);
   if (fd < 0) return false;
-  size_t done = 0;
-  while (done < buf.size()) {
-    ssize_t w = write(fd, buf.data() + done, buf.size() - done);
-    if (w <= 0) {
+  bool ok = false;
+  bool tried_bgzf = false;
+  {
+    std::vector<BgzfBlock> blocks;
+    size_t total = 0;
+    if (bgzf_index(p, n, &blocks, &total)) {
+      tried_bgzf = true;
+      ok = bgzf_inflate_to_fd(p, blocks, fd);
+    }
+  }
+  if (!ok) {
+    if (tried_bgzf &&
+        (lseek(fd, 0, SEEK_SET) != 0 || ftruncate(fd, 0) != 0)) {
       close(fd);
-      unlink(t.data());
+      unlink(out->c_str());
+      out->clear();
       return false;
     }
-    done += static_cast<size_t>(w);
+    ok = gz_stream_to_fd(path, fd);
   }
   close(fd);
-  out->assign(t.data());
-  return true;
+  if (!ok) {
+    unlink(out->c_str());
+    out->clear();
+  }
+  return ok;
 }
 
 }  // namespace
@@ -982,17 +1153,36 @@ RaftFasta* raftio_index_fasta(const char* path) {
 // STARTING with '>' take the threaded pure-FASTA path (same assumption
 // as raftio_load_fasta's fast path).
 RaftFasta* raftio_index_fastx(const char* path) {
-  Source src;
-  if (!open_source(path, &src) || !src.n) return nullptr;
-  const bool was_gz = !src.buf.empty();
+  Mapped m;
+  if (!map_file(path, &m) || !m.n) return nullptr;
+  const bool is_gz = m.n >= 2 &&
+                     static_cast<uint8_t>(m.p[0]) == 0x1f &&
+                     static_cast<uint8_t>(m.p[1]) == 0x8b;
+  const char* p = m.p;
+  size_t n = m.n;
   std::string decomp;
-  if (was_gz && !write_temp_decomp(src.buf, &decomp)) return nullptr;
+  Mapped dm;
+  if (is_gz) {
+    // stream-decompress to the handle's temp file (bounded memory;
+    // BGZF inflates block-parallel, plain gz single-stream — either
+    // way the disk write overlaps the inflate) and index the MAPPED
+    // temp file. Replaces inflate-everything-into-RAM + write-back:
+    // at 12.4 GB that was a full-input RAM spike plus the inflate and
+    // the write in sequence (SCALE_r05 gz section).
+    if (!stream_decomp_to_temp(path, m.p, m.n, &decomp)) return nullptr;
+    if (!map_file(decomp.c_str(), &dm) || !dm.n) {
+      unlink(decomp.c_str());
+      return nullptr;
+    }
+    p = dm.p;
+    n = dm.n;
+  }
   RaftFasta* fa = nullptr;
-  if (src.p[0] == '>') {
-    fa = index_fasta_threaded(src.p, src.n);
-  } else if (src.p[0] == '@') {
+  if (p[0] == '>') {
+    fa = index_fasta_threaded(p, n);
+  } else if (p[0] == '@') {
     fa = new RaftFasta();
-    index_fastx_buf(src.p, src.n, fa);
+    index_fastx_buf(p, n, fa);
   }
   if (!fa) {
     if (!decomp.empty()) unlink(decomp.c_str());
@@ -2695,6 +2885,24 @@ extern "C" {
 // Fragment FASTA: headers are pre-rendered by the caller (hdr_blob with
 // hdr_off offsets, one per fragment; empty header → no header line, which
 // mirrors the reference's headerless simulated-mode fallthrough).
+// bgzip-equivalent utility: BGZF-compress a whole file block-parallel
+// (RAFT_GZ_LEVEL honored). Exists so BGZF test/bench inputs need no
+// external bgzip binary, and as the user-facing recompression route for
+// plain-gz inputs (whose single-stream inflate is the serial floor the
+// SCALE_r05 gz section measures).
+int raftio_bgzf_file(const char* in_path, const char* out_path) {
+  Mapped m;
+  if (!map_file(in_path, &m) || !m.n) return -1;
+  int fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return -1;
+  bool ok = bgzf_write(fd, m.p, m.n, n_parse_threads());
+  if (ok)
+    ok = write_full(fd, reinterpret_cast<const char*>(kBgzfEof), 28);
+  close(fd);
+  if (!ok) unlink(out_path);
+  return ok ? 0 : -1;
+}
+
 int raftio_emit_frags(const char* path, const char* seq_blob,
                       const int64_t* seq_off, const int32_t* frag_read,
                       const int64_t* char_start, const int64_t* char_len,

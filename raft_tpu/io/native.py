@@ -136,6 +136,8 @@ def _configure(lib):
                    ("rge_n_unknown", C.c_int64), ("rge_n_oob", C.c_int64)):
         getattr(lib, nm).restype = rt
         getattr(lib, nm).argtypes = [C.c_void_p]
+    lib.raftio_bgzf_file.restype = C.c_int
+    lib.raftio_bgzf_file.argtypes = [C.c_char_p, C.c_char_p]
     lib.raftio_cov_hist.restype = C.c_int
     lib.raftio_cov_hist.argtypes = [
         i32p, i32p, i64p, i64p,        # w0, w1, ev_off, lens
@@ -440,6 +442,16 @@ def group_events(table, n_reads: int, lens: np.ndarray, reso: int):
                 int(lib.rge_n_oob(ptr)))
     finally:
         lib.raftio_free_grouped(ptr)
+
+
+def bgzf_compress_file(src: str, dst: str) -> bool:
+    """bgzip-equivalent: BGZF-compress ``src`` into ``dst`` with the
+    block-parallel deflate (RAFT_GZ_LEVEL honored). False when the
+    native library is unavailable or the compression failed."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    return lib.raftio_bgzf_file(src.encode(), dst.encode()) == 0
 
 
 def cov_hist(w0: np.ndarray, w1: np.ndarray, ev_off: np.ndarray,

@@ -210,3 +210,29 @@ def test_auto_chunk_respects_engine_and_io_choice(tmp_path, monkeypatch):
     pl.run_pipeline(reads, paf, _params(tmp, "jx"), engine="jax",
                     verbose=False)
     assert called, "jax+native run should auto-chunk under the tiny gate"
+
+
+def test_chunked_streams_bgzf_input(tmp_path):
+    """A BGZF-compressed FASTA input routes through the streaming
+    index's BLOCK-PARALLEL windowed inflate-to-temp (r5: bounded-memory
+    decomp with the disk write overlapped) and produces bytes identical
+    to the plain-input run. The BGZF input is made by our own
+    bgzip-equivalent (native.bgzf_compress_file)."""
+    import shutil
+
+    from raft_tpu.io import native
+    if native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=894, tmpdir=tmp, n_reads=17)
+    bg = reads + ".bgzf.gz"
+    assert native.bgzf_compress_file(reads, bg)
+    run_pipeline(reads, paf, _params(tmp, "plain"), engine="jax",
+                 verbose=False, chunk_reads=5)
+    st = run_pipeline(bg, paf, _params(tmp, "bgzf"), engine="jax",
+                      verbose=False, chunk_reads=5)
+    assert st.n_reads == 17
+    for ext in OUTS:
+        a = (tmp_path / f"plain{ext}").read_bytes()
+        b = (tmp_path / f"bgzf{ext}").read_bytes()
+        assert a == b, ext
