@@ -2428,6 +2428,32 @@ bool bgzf_write(int fd, const char* data, size_t n, int T) {
   return true;
 }
 
+// Two-digit-LUT integer formatter shared by the render writers: the
+// coverage files alone are ~2 GB of "start,cov " pairs at 512k scale,
+// so halving the div/mod chain cuts the emit render term (VERDICT r4
+// item 5). Returns the digit count written at d (no sign handling).
+static const char kDigits2[201] =
+    "0001020304050607080910111213141516171819202122232425262728293031323334353637383940414243444546474849"
+    "5051525354555657585960616263646566676869707172737475767778798081828384858687888990919293949596979899";
+inline int fmt_u64(char* d, uint64_t v) {
+  char tmp[24];
+  int k = 0;
+  while (v >= 100) {
+    const unsigned r = static_cast<unsigned>(v % 100);
+    v /= 100;
+    tmp[k++] = kDigits2[2 * r + 1];
+    tmp[k++] = kDigits2[2 * r];
+  }
+  if (v >= 10) {
+    tmp[k++] = kDigits2[2 * v + 1];
+    tmp[k++] = kDigits2[2 * v];
+  } else {
+    tmp[k++] = static_cast<char>('0' + v);
+  }
+  for (int i = 0; i < k; i++) d[i] = tmp[k - 1 - i];
+  return k;
+}
+
 // Zero-copy emitter: rendered text (headers, numbers) accumulates in a
 // fixed buffer; bulk payload (fragment sequences) is REFERENCED, not
 // copied, and both stream to the file with writev. This halves+ memory
@@ -2476,13 +2502,7 @@ class BufWriter {
       d[n_++] = '-';
       v = -v;
     }
-    char tmp[24];
-    int k = 0;
-    do {
-      tmp[k++] = static_cast<char>('0' + (v % 10));
-      v /= 10;
-    } while (v);
-    while (k) d[n_++] = tmp[--k];
+    n_ += static_cast<size_t>(fmt_u64(d + n_, static_cast<uint64_t>(v)));
   }
   void flush() {
     close_seg();
@@ -2534,13 +2554,7 @@ class MemWriter {
       d[n_++] = '-';
       v = -v;
     }
-    char tmp[24];
-    int k = 0;
-    do {
-      tmp[k++] = static_cast<char>('0' + (v % 10));
-      v /= 10;
-    } while (v);
-    while (k) d[n_++] = tmp[--k];
+    n_ += static_cast<size_t>(fmt_u64(d + n_, static_cast<uint64_t>(v)));
   }
   // shards must own their bytes (written after the render joins), so
   // referenced payload is copied here
@@ -2629,13 +2643,7 @@ class PWriter {
       d[n_++] = '-';
       v = -v;
     }
-    char tmp[24];
-    int k = 0;
-    do {
-      tmp[k++] = static_cast<char>('0' + (v % 10));
-      v /= 10;
-    } while (v);
-    while (k) d[n_++] = tmp[--k];
+    n_ += static_cast<size_t>(fmt_u64(d + n_, static_cast<uint64_t>(v)));
   }
   void flush() {
     close_seg();
