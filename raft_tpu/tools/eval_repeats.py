@@ -183,7 +183,9 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
              coverage: float = 30.0, repeat_fams: int = 3,
              repeat_len: int = 15000, copies: int = 4, seed: int = 11,
              engine: str = "jax", verbose: bool = True,
-             est_cov_scale: float = 1.0, auto_e: bool = False) -> dict:
+             est_cov_scale: float = 1.0, auto_e: bool = False,
+             drop_rate: float = 0.0, spurious_rate: float = 0.0,
+             jitter_sd: float = 0.0) -> dict:
     """One simulation + one evaluation point.
 
     ``est_cov_scale`` mis-specifies ``-e`` on purpose: the reference's
@@ -197,9 +199,15 @@ def run_eval(workdir: str, genome_size: int = 2_000_000,
     os.makedirs(workdir, exist_ok=True)
     prefix = os.path.join(workdir, "sim")
     info = write_simulation(prefix, genome_size, coverage, repeat_fams,
-                            repeat_len, copies, seed=seed)
+                            repeat_len, copies, seed=seed,
+                            drop_rate=drop_rate,
+                            spurious_rate=spurious_rate,
+                            jitter_sd=jitter_sd)
     out = _eval_point(workdir, prefix, info, genome_size, engine,
                       est_cov_scale, auto_e=auto_e)
+    out["noise"] = {"drop_rate": drop_rate,
+                    "spurious_rate": spurious_rate,
+                    "jitter_sd": jitter_sd}
     if verbose:
         print(json.dumps(out), flush=True)
     return out
@@ -344,6 +352,38 @@ def run_sweep(workdir: str, genome_size: int = 2_000_000,
     return rows
 
 
+NOISE_POINTS = (
+    # one knob at a time, then a realistic combined point
+    {"drop_rate": 0.1}, {"drop_rate": 0.2}, {"drop_rate": 0.4},
+    {"spurious_rate": 0.1}, {"spurious_rate": 0.2},
+    {"jitter_sd": 100.0}, {"jitter_sd": 500.0},
+    {"drop_rate": 0.2, "spurious_rate": 0.1, "jitter_sd": 100.0},
+)
+
+
+def run_noise_sweep(workdir: str, genome_size: int = 2_000_000,
+                    coverage: float = 30.0, seeds=(11, 23),
+                    points=NOISE_POINTS, engine: str = "jax",
+                    verbose: bool = True) -> list[dict]:
+    """Overlap-noise robustness sweep (VERDICT r4 item 7): real PAFs
+    are not the derived-from-truth ideal — they drop true overlaps, add
+    spurious ones, and jitter coordinates. One clean point + every
+    NOISE_POINTS per seed, -e at truth."""
+    rows = []
+    for seed in seeds:
+        for pt in ({},) + tuple(points):
+            wd = os.path.join(workdir,
+                              f"s{seed}_" + "_".join(
+                                  f"{k[0]}{v:g}" for k, v in pt.items()))
+            r = run_eval(wd, genome_size, coverage, seed=seed,
+                         engine=engine, verbose=False, **pt)
+            r["seed"] = seed
+            rows.append(r)
+            if verbose:
+                print(json.dumps(r), flush=True)
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--workdir", required=True)
@@ -364,7 +404,17 @@ def main(argv=None) -> int:
                     help="run the full est_cov sensitivity sweep "
                          f"(scales {SWEEP_SCALES}, seeds 11+23) instead "
                          "of a single point")
+    ap.add_argument("--noise-sweep", action="store_true",
+                    help="run the overlap-noise robustness sweep "
+                         "(drop/spurious/jitter points, seeds 11+23)")
+    ap.add_argument("--drop-rate", type=float, default=0.0)
+    ap.add_argument("--spurious-rate", type=float, default=0.0)
+    ap.add_argument("--jitter-sd", type=float, default=0.0)
     a = ap.parse_args(argv)
+    if a.noise_sweep:
+        run_noise_sweep(a.workdir, a.genome_size, a.coverage,
+                        engine=a.engine)
+        return 0
     if a.sweep:
         run_sweep(a.workdir, a.genome_size, a.coverage,
                   engine=a.engine, repeat_fams=a.repeat_fams,
@@ -372,7 +422,9 @@ def main(argv=None) -> int:
     else:
         run_eval(a.workdir, a.genome_size, a.coverage, a.repeat_fams,
                  a.repeat_len, a.copies, a.seed, a.engine,
-                 est_cov_scale=a.est_cov_scale, auto_e=a.auto_e)
+                 est_cov_scale=a.est_cov_scale, auto_e=a.auto_e,
+                 drop_rate=a.drop_rate, spurious_rate=a.spurious_rate,
+                 jitter_sd=a.jitter_sd)
     return 0
 
 

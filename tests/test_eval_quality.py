@@ -64,6 +64,33 @@ def test_auto_e_quality(tmp_path):
     assert out["n_fragments"] > out["n_reads"], out
 
 
+@pytest.mark.slow
+def test_noisy_overlaps_quality(tmp_path):
+    """Robustness at a realistic noisy operating point (EVAL.md r5
+    noise sweep): 20% true overlaps dropped + 10% spurious pairs +
+    100 bp endpoint jitter must not break detection at 2 Mbp/30x."""
+    out = run_eval(str(tmp_path), genome_size=2_000_000, coverage=30.0,
+                   verbose=False, drop_rate=0.2, spurious_rate=0.1,
+                   jitter_sd=100.0)
+    assert out["bed_recall"] >= 0.95, out
+    assert out["bed_precision_flank_tolerant"] >= 0.90, out
+    assert out["cut_in_repeat_rate"] <= 0.08, out
+    assert out["n_fragments"] > out["n_reads"], out
+
+
+def test_noise_free_sim_bit_identical(tmp_path):
+    """Noise knobs at 0 must leave the simulator's output bit-identical
+    (separate rng stream; fixture stability across rounds)."""
+    from raft_tpu.tools.simulate import write_simulation
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_simulation(a, 150_000, 8.0, 2, 4000, 3, seed=5)
+    write_simulation(b, 150_000, 8.0, 2, 4000, 3, seed=5,
+                     drop_rate=0.0, spurious_rate=0.0, jitter_sd=0.0)
+    for ext in (".reads.fasta", ".overlaps.paf", ".truth_repeats.bed"):
+        assert open(a + ext, "rb").read() == open(b + ext, "rb").read()
+
+
 def test_interval_algebra():
     """Unit: merge/intersect/points_in on hand-checked cases."""
     import numpy as np
