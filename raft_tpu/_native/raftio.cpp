@@ -3039,6 +3039,24 @@ int raftio_emit_coverage_events(const char* path, const int32_t* w0,
                                 int append, int gz) {
   auto render = [&](auto& w, int64_t ilo, int64_t ihi) {
   std::vector<int32_t> diff;
+  // The "wstart," prefix for window k is k*reso — IDENTICAL for every
+  // read. Render each prefix once per shard and memcpy it thereafter
+  // (the coverage file is ~2 GB of these pairs at 512k scale; this
+  // halves the remaining putint work after the digit-LUT). Capped —
+  // ultralong reads beyond the table fall back to putint.
+  const int64_t kMaxTab = 65536;
+  int64_t max_nw = 0;
+  for (int64_t i = ilo; i < ihi; i++)
+    max_nw = std::max(max_nw, cov_off[i + 1] - cov_off[i]);
+  const int64_t tab_n = std::min(max_nw, kMaxTab);
+  std::vector<char> tab_blob(static_cast<size_t>(tab_n) * 24);
+  std::vector<uint32_t> tab_off(static_cast<size_t>(tab_n) + 1, 0);
+  for (int64_t k = 0; k < tab_n; k++) {
+    char* d = tab_blob.data() + tab_off[k];
+    int len = fmt_u64(d, static_cast<uint64_t>(k) * reso);
+    d[len] = ',';
+    tab_off[k + 1] = tab_off[k] + static_cast<uint32_t>(len) + 1;
+  }
   for (int64_t i = ilo; i < ihi; i++) {
     int64_t nw = cov_off[i + 1] - cov_off[i];
     diff.assign(static_cast<size_t>(nw + 1), 0);
@@ -3053,15 +3071,20 @@ int raftio_emit_coverage_events(const char* path, const int32_t* w0,
     w.put("read ", 5);
     w.putint(first_read_index + i);
     w.putc(' ');
-    int64_t wstart = 0;
     int32_t c = 0;
-    for (int64_t k = 0; k < nw; k++) {
+    const int64_t ntab = std::min(nw, tab_n);
+    for (int64_t k = 0; k < ntab; k++) {
       c += diff[k];
-      w.putint(wstart);
+      w.put(tab_blob.data() + tab_off[k], tab_off[k + 1] - tab_off[k]);
+      w.putint(c);
+      w.putc(' ');
+    }
+    for (int64_t k = ntab; k < nw; k++) {
+      c += diff[k];
+      w.putint(k * reso);
       w.putc(',');
       w.putint(c);
       w.putc(' ');
-      wstart += reso;
     }
     w.putc('\n');
   }
