@@ -109,6 +109,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=524288)
     ap.add_argument("--rows-per-read", type=int, default=60)
+    ap.add_argument("--mean-len", type=int, default=23600,
+                    help="mean read length (the many-small-reads axis: "
+                         "e.g. --reads 4000000 --mean-len 2500)")
     ap.add_argument("--dir", default="/root/bigbench")
     ap.add_argument("--chunk", type=int, default=32768)
     ap.add_argument("--with-reference", action="store_true")
@@ -120,6 +123,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     reads, paf = gen_dataset(
         os.path.join(args.dir, f"scale{args.reads}"), n_reads=args.reads,
+        mean_len=args.mean_len,
         n_overlaps=args.reads * args.rows_per_read, est_cov=20)
     gen_s = time.perf_counter() - t0
     sizes = {"fasta_gb": round(os.path.getsize(reads) / 1e9, 2),
