@@ -137,6 +137,31 @@ struct Interner {
       ids[i] = oi[j];
     }
   }
+  // warm the probe slot for a hash about to be interned: at millions of
+  // distinct names the probe arrays are 100+ MB and every lookup is a
+  // cache miss — batching hash computation and prefetching ~20 slots
+  // ahead overlaps those misses (measured on the 4M-read / 139M-row
+  // preparse, SCALE_r05 many_small_reads hotspot)
+  inline void prefetch(uint64_t h) const {
+    if (mask) __builtin_prefetch(&hashes[h & mask]);
+  }
+  int32_t intern_h(const char* s, size_t n, uint64_t h) {
+    if (hashes.empty()) grow(16);
+    size_t i = h & mask;
+    while (hashes[i]) {
+      if (hashes[i] == h) {
+        const std::string& k = names[ids[i]];
+        if (k.size() == n && memcmp(k.data(), s, n) == 0) return ids[i];
+      }
+      i = (i + 1) & mask;
+    }
+    int32_t id = static_cast<int32_t>(names.size());
+    names.emplace_back(s, n);
+    hashes[i] = h;
+    ids[i] = id;
+    if (names.size() * 2 >= mask) grow(names.size() * 2);
+    return id;
+  }
   int32_t intern(const char* s, size_t n) {
     if (hashes.empty()) grow(16);
     uint64_t h = hash_bytes(s, n);
@@ -1498,47 +1523,75 @@ void preparse_paf_region(const char* p, size_t n, size_t lo, size_t hi,
   const char* mt = nullptr;
   size_t mq_len = 0, mt_len = 0;
   int32_t mq_id = 0, mt_id = 0;
+  // Rows parse in batches: tokenize + hash a batch, PREFETCH every
+  // row's probe slots, then intern with the precomputed hashes. At
+  // millions of distinct names the interner's probe arrays dwarf the
+  // caches and the un-batched loop stalled on one dependent miss per
+  // lookup; batching overlaps ~2*BATCH misses (measured 86 s -> see
+  // SCALE_r05 many_small_reads for the 139M-row corner).
+  constexpr int BATCH = 24;
+  struct RowBuf {
+    PafRowS r;
+    size_t line_off;
+    uint64_t qh, th;
+  };
+  RowBuf bb[BATCH];
   while (i < hi && i < n) {
-    size_t line_off = i;
-    const char* line = p + i;
-    const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
-    size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
-    size_t len = line_len(line, llen);
-    i = nl ? static_cast<size_t>(nl - p) + 1 : n;
-    PafRowS r = parse_paf_line_s(line, len);
-    if (!r.valid) continue;
-    // mirror-of-row-0 test (chop.hpp:175-184) on raw names: coords
-    // first (cheap reject), then the two name compares
-    if (line_off != row0_off && row0.valid &&
-        row0.as_ == r.bs && row0.ae == r.be && row0.bs == r.as_ &&
-        row0.be == r.ae && row0.qn_len == r.tn_len &&
-        row0.tn_len == r.qn_len &&
-        memcmp(row0.qn, r.tn, r.tn_len) == 0 &&
-        memcmp(row0.tn, r.qn, r.qn_len) == 0)
-      out->mirror = true;
-    // run-length memo: ava PAFs are query-grouped (hifiasm/minimap2
-    // emit all rows of a query consecutively), so consecutive rows
-    // usually repeat qn — one memcmp replaces the hash+probe
-    if (mq && mq_len == r.qn_len && memcmp(mq, r.qn, mq_len) == 0) {
-      out->a_id.push_back(mq_id);
-    } else {
-      mq_id = out->in.intern(r.qn, r.qn_len);
-      mq = r.qn;
-      mq_len = r.qn_len;
-      out->a_id.push_back(mq_id);
+    int nb = 0;
+    while (nb < BATCH && i < hi && i < n) {
+      size_t line_off = i;
+      const char* line = p + i;
+      const char* nl = static_cast<const char*>(memchr(line, '\n', n - i));
+      size_t llen = nl ? static_cast<size_t>(nl - line) : n - i;
+      size_t len = line_len(line, llen);
+      i = nl ? static_cast<size_t>(nl - p) + 1 : n;
+      PafRowS r = parse_paf_line_s(line, len);
+      if (!r.valid) continue;
+      bb[nb].r = r;
+      bb[nb].line_off = line_off;
+      nb++;
     }
-    if (mt && mt_len == r.tn_len && memcmp(mt, r.tn, mt_len) == 0) {
-      out->b_id.push_back(mt_id);
-    } else {
-      mt_id = out->in.intern(r.tn, r.tn_len);
-      mt = r.tn;
-      mt_len = r.tn_len;
-      out->b_id.push_back(mt_id);
+    for (int k = 0; k < nb; k++) {
+      bb[k].qh = Interner::hash_bytes(bb[k].r.qn, bb[k].r.qn_len);
+      bb[k].th = Interner::hash_bytes(bb[k].r.tn, bb[k].r.tn_len);
+      out->in.prefetch(bb[k].qh);
+      out->in.prefetch(bb[k].th);
     }
-    out->a_s.push_back(r.as_);
-    out->a_e.push_back(r.ae);
-    out->b_s.push_back(r.bs);
-    out->b_e.push_back(r.be);
+    for (int k = 0; k < nb; k++) {
+      const PafRowS& r = bb[k].r;
+      // mirror-of-row-0 test (chop.hpp:175-184) on raw names: coords
+      // first (cheap reject), then the two name compares
+      if (bb[k].line_off != row0_off && row0.valid &&
+          row0.as_ == r.bs && row0.ae == r.be && row0.bs == r.as_ &&
+          row0.be == r.ae && row0.qn_len == r.tn_len &&
+          row0.tn_len == r.qn_len &&
+          memcmp(row0.qn, r.tn, r.tn_len) == 0 &&
+          memcmp(row0.tn, r.qn, r.qn_len) == 0)
+        out->mirror = true;
+      // run-length memo: ava PAFs are query-grouped (hifiasm/minimap2
+      // emit all rows of a query consecutively), so consecutive rows
+      // usually repeat qn — one memcmp replaces the hash+probe
+      if (mq && mq_len == r.qn_len && memcmp(mq, r.qn, mq_len) == 0) {
+        out->a_id.push_back(mq_id);
+      } else {
+        mq_id = out->in.intern_h(r.qn, r.qn_len, bb[k].qh);
+        mq = r.qn;
+        mq_len = r.qn_len;
+        out->a_id.push_back(mq_id);
+      }
+      if (mt && mt_len == r.tn_len && memcmp(mt, r.tn, mt_len) == 0) {
+        out->b_id.push_back(mt_id);
+      } else {
+        mt_id = out->in.intern_h(r.tn, r.tn_len, bb[k].th);
+        mt = r.tn;
+        mt_len = r.tn_len;
+        out->b_id.push_back(mt_id);
+      }
+      out->a_s.push_back(r.as_);
+      out->a_e.push_back(r.ae);
+      out->b_s.push_back(r.bs);
+      out->b_e.push_back(r.be);
+    }
   }
 }
 
@@ -1603,11 +1656,32 @@ RaftPaf* raftio_resolve_paf(RaftPafPre* pre, RaftFasta* fa) {
   size_t off = 0;
   for (auto& L : pre->locals) {
     std::vector<int32_t> remap(L.in.names.size());
-    for (size_t k = 0; k < L.in.names.size(); k++)
-      remap[k] = fa->interner.intern(L.in.names[k].data(),
-                                     L.in.names[k].size());
+    // same batched-hash + prefetch treatment as the preparse loop:
+    // at millions of distinct names the global interner's probe
+    // arrays miss on every call
+    {
+      constexpr size_t RB = 24;
+      uint64_t hs[RB];
+      const size_t nn = L.in.names.size();
+      for (size_t k0 = 0; k0 < nn; k0 += RB) {
+        const size_t k1 = std::min(k0 + RB, nn);
+        for (size_t k = k0; k < k1; k++) {
+          hs[k - k0] = Interner::hash_bytes(L.in.names[k].data(),
+                                            L.in.names[k].size());
+          fa->interner.prefetch(hs[k - k0]);
+        }
+        for (size_t k = k0; k < k1; k++)
+          remap[k] = fa->interner.intern_h(L.in.names[k].data(),
+                                           L.in.names[k].size(),
+                                           hs[k - k0]);
+      }
+    }
     const size_t m = L.a_id.size();
     for (size_t r = 0; r < m; r++) {
+      if (r + 16 < m) {
+        __builtin_prefetch(&remap[L.a_id[r + 16]]);
+        __builtin_prefetch(&remap[L.b_id[r + 16]]);
+      }
       pf->a_id[off + r] = remap[L.a_id[r]];
       pf->b_id[off + r] = remap[L.b_id[r]];
     }
