@@ -163,22 +163,7 @@ struct Interner {
     return id;
   }
   int32_t intern(const char* s, size_t n) {
-    if (hashes.empty()) grow(16);
-    uint64_t h = hash_bytes(s, n);
-    size_t i = h & mask;
-    while (hashes[i]) {
-      if (hashes[i] == h) {
-        const std::string& k = names[ids[i]];
-        if (k.size() == n && memcmp(k.data(), s, n) == 0) return ids[i];
-      }
-      i = (i + 1) & mask;
-    }
-    int32_t id = static_cast<int32_t>(names.size());
-    names.emplace_back(s, n);
-    hashes[i] = h;
-    ids[i] = id;
-    if (names.size() * 2 >= mask) grow(names.size() * 2);
-    return id;
+    return intern_h(s, n, hash_bytes(s, n));
   }
   // read-only (thread-safe) lookup; -1 if unknown
   int32_t lookup(const char* s, size_t n) const {
@@ -958,14 +943,18 @@ class PendingWriter {
 
 // BGZF → fd: inflate 64 MB windows of blocks in parallel, write each
 // window while the next inflates. Bounded memory (2 windows).
-bool bgzf_inflate_to_fd(const char* p, const std::vector<BgzfBlock>& blocks,
-                        int fd) {
+// Returns 0 ok; 1 corrupt/failed INFLATE (caller may fall back to the
+// streaming gzread path); 2 disk-WRITE failure (falling back would just
+// re-fail after minutes of serial inflate — caller must abort).
+int bgzf_inflate_to_fd(const char* p, const std::vector<BgzfBlock>& blocks,
+                       int fd) {
   const int T = n_parse_threads();
   PendingWriter w(fd);
   const size_t WIN_BYTES = 64u << 20;
   const size_t B = blocks.size();
   size_t k = 0;
   bool ok = true;
+  bool write_failed = false;
   while (k < B && ok) {
     size_t k2 = k, bytes = 0;
     const size_t base = blocks[k].out_off;
@@ -1004,11 +993,15 @@ bool bgzf_inflate_to_fd(const char* p, const std::vector<BgzfBlock>& blocks,
     for (auto& th : threads) th.join();
     for (int t = 0; t < T; t++)
       if (fail[t]) ok = false;
-    if (ok) ok = w.submit(std::move(buf));
+    if (ok && !w.submit(std::move(buf))) {
+      ok = false;
+      write_failed = true;
+    }
     k = k2;
   }
-  bool wok = w.finish();
-  return ok && wok;
+  if (!w.finish()) write_failed = true;
+  if (write_failed) return 2;
+  return ok ? 0 : 1;
 }
 
 // Plain gz → fd: single-stream gzread (inherently serial) but the disk
@@ -1051,7 +1044,16 @@ bool stream_decomp_to_temp(const char* path, const char* p, size_t n,
     size_t total = 0;
     if (bgzf_index(p, n, &blocks, &total)) {
       tried_bgzf = true;
-      ok = bgzf_inflate_to_fd(p, blocks, fd);
+      int rc = bgzf_inflate_to_fd(p, blocks, fd);
+      ok = rc == 0;
+      if (rc == 2) {
+        // disk-write failure: a serial-gzread retry onto the same disk
+        // is doomed and would burn minutes of inflate first — abort
+        close(fd);
+        unlink(out->c_str());
+        out->clear();
+        return false;
+      }
     }
   }
   if (!ok) {

@@ -291,16 +291,24 @@ def main(argv: list[str] | None = None) -> int:
         # "Deliberate divergences") are user errors, not tracebacks
         print(f"ERROR, {e}", file=sys.stderr)
         return 1
-    with profiling.trace(extras["trace"]):
-        stats = run_pipeline(reads_path, paf_path, params,
-                             engine=extras["engine"], strict=extras["strict"],
-                             use_native=extras["use_native"],
-                             use_pallas=extras["pallas"], mesh=mesh,
-                             chunk_reads=extras["chunk_reads"],
-                             spill_paf=extras["spill_paf"],
-                             gz_out=extras["gz_out"],
-                             cov_out=extras["cov_out"],
-                             auto_e=extras["auto_e"])
+    try:
+        with profiling.trace(extras["trace"]):
+            stats = run_pipeline(reads_path, paf_path, params,
+                                 engine=extras["engine"],
+                                 strict=extras["strict"],
+                                 use_native=extras["use_native"],
+                                 use_pallas=extras["pallas"], mesh=mesh,
+                                 chunk_reads=extras["chunk_reads"],
+                                 spill_paf=extras["spill_paf"],
+                                 gz_out=extras["gz_out"],
+                                 cov_out=extras["cov_out"],
+                                 auto_e=extras["auto_e"])
+    except ValueError as e:
+        # domain rejections (strict-mode PAF errors, --auto-e no-signal,
+        # streaming requirements) are user errors with actionable
+        # messages — present them, not a traceback
+        print(f"ERROR, {e}", file=sys.stderr)
+        return 1
 
     wct = time.perf_counter() - t0
     print(f"INFO, main(), program completed after {wct:g} seconds")

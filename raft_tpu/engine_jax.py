@@ -585,7 +585,8 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
                 strict: bool = True, use_pallas: bool | None = None,
                 mesh=None, cov_out: str | None = None,
                 on_cov_events=None,
-                timers_out: dict | None = None) -> "ComputeResult":
+                timers_out: dict | None = None,
+                grouped=None) -> "ComputeResult":
     """JAX engine: device batches in, flat ComputeResult out (no per-read
     Python loops anywhere).
 
@@ -617,11 +618,13 @@ def compute_jax(store: ReadStore, table: OverlapTable, params: AlgoParams,
 
     # Fast path: the native counting-sort pass delivers events already
     # read-grouped and window-binned (one C++ scan over the PAF columns),
-    # replacing events() + argsort + searchsorted + binning.
-    grouped = None
-    eg = getattr(table, "events_grouped", None)
-    if eg is not None:
-        grouped = eg(n, lens, reso, strict=strict)
+    # replacing events() + argsort + searchsorted + binning. A caller
+    # that already grouped (--auto-e estimates from the same triple)
+    # passes it in to avoid repeating the pass.
+    if grouped is None:
+        eg = getattr(table, "events_grouped", None)
+        if eg is not None:
+            grouped = eg(n, lens, reso, strict=strict)
     if grouped is not None:
         g_off, g_w0, g_w1 = grouped
         ev_read = ev_lo = ev_hi = None

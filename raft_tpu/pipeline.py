@@ -344,28 +344,48 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
         pre_fut = _pre_pool.submit(_native.preparse_paf, paf_path)
         _pre_pool.shutdown(wait=False)
 
-    with _Timer(stats, "load_reads"):
-        store = load_reads(read_path, use_native=use_native)
-    if verbose:
-        print(f"Real Reads {int(store.real_reads)} ")
-    with _Timer(stats, "load_paf"):
-        table = None
-        if pre_fut is not None:
-            pre = pre_fut.result()
+    def _drain_preparse():
+        # same guard as the chunked path (ADVICE r4 item 3): an
+        # exception before resolve must not leave the non-daemon
+        # preparse worker running or leak its C handle
+        nonlocal pre_fut
+        if pre_fut is None:
+            return
+        fut, pre_fut = pre_fut, None
+        try:
+            pre = fut.result()
             if pre is not None:
-                table = _native.resolve_paf(pre, store)
-        if table is None:
-            table = load_paf(paf_path, store, use_native=use_native)
+                pre.close()
+        except Exception:
+            pass
+
+    try:
+        with _Timer(stats, "load_reads"):
+            store = load_reads(read_path, use_native=use_native)
+        if verbose:
+            print(f"Real Reads {int(store.real_reads)} ")
+        with _Timer(stats, "load_paf"):
+            table = None
+            if pre_fut is not None:
+                fut, pre_fut = pre_fut, None
+                pre = fut.result()
+                if pre is not None:
+                    table = _native.resolve_paf(pre, store)
+            if table is None:
+                table = load_paf(paf_path, store, use_native=use_native)
+    finally:
+        _drain_preparse()
     if verbose:
         print(f"INFO, Symmetric overlaps {int(table.symmetric)} ")
         print(f"INFO, length of alignments  {table.n_rows}()")
 
     params = params.replace(real_reads=store.real_reads,
                             symmetric_overlaps=table.symmetric)
+    grouped_for_engine = None
     if auto_e:
         from raft_tpu import auto_e as _auto_e
         with _Timer(stats, "auto_e"):
-            info, _ = _auto_e.estimate_for_table(
+            info, grouped_for_engine = _auto_e.estimate_for_table(
                 table, store.lens.astype(np.int64), store.n_reads,
                 params.reso, params.cov_mul, strict=strict)
         params = _apply_auto_e(params, info)
@@ -399,7 +419,8 @@ def run_pipeline(read_path: str, paf_path: str, params: AlgoParams,
             from raft_tpu.engine_jax import compute_jax
             res = compute_jax(store, table, params, strict=strict,
                               use_pallas=use_pallas, mesh=mesh,
-                              cov_out=cov_out, on_cov_events=_on_cov)
+                              cov_out=cov_out, on_cov_events=_on_cov,
+                              grouped=grouped_for_engine)
         else:
             raise ValueError(f"unknown engine {engine!r}")
 

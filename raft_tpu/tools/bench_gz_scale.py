@@ -107,32 +107,38 @@ def main(argv=None) -> int:
     bg_paf = os.path.join(a.dir, os.path.basename(a.paf) + ".bgzf.gz")
     for src, dst in ((a.reads, gz_reads), (a.paf, gz_paf)):
         if not os.path.exists(dst):
+            # write to a temp name + rename: a killed/failed gzip must
+            # not leave a truncated artifact a later run silently reuses
             t0 = time.perf_counter()
-            with open(dst, "wb") as f:
+            tmp = dst + ".tmp"
+            with open(tmp, "wb") as f:
                 subprocess.run(["gzip", "-c", "-5", src], stdout=f,
                                check=True)
+            os.replace(tmp, dst)
             result[f"gzip_compress_s_{os.path.basename(src)}"] = round(
                 time.perf_counter() - t0, 1)
     from raft_tpu.io import native
     for src, dst in ((a.reads, bg_reads), (a.paf, bg_paf)):
         if not os.path.exists(dst):
             t0 = time.perf_counter()
-            if not native.bgzf_compress_file(src, dst):
+            tmp = dst + ".tmp"
+            if not native.bgzf_compress_file(src, tmp):
                 raise RuntimeError(f"bgzf compress failed for {src}")
+            os.replace(tmp, dst)
             result[f"bgzf_compress_s_{os.path.basename(src)}"] = round(
                 time.perf_counter() - t0, 1)
     result["gz_fasta_bytes"] = os.path.getsize(gz_reads)
     result["bgzf_fasta_bytes"] = os.path.getsize(bg_reads)
 
     # -- decompression floors, measured in isolation -------------------
-    if a.cold:
-        _drop_caches()
+    if a.cold and not _drop_caches():
+        result["cold_page_cache"] = "requested_but_drop_failed"
     t0 = time.perf_counter()
     with open(os.devnull, "wb") as dn:
         subprocess.run(["gzip", "-dc", gz_reads], stdout=dn, check=True)
     result["floor_serial_inflate_s"] = round(time.perf_counter() - t0, 1)
-    if a.cold:
-        _drop_caches()
+    if a.cold and not _drop_caches():
+        result["cold_page_cache"] = "requested_but_drop_failed"
     t0 = time.perf_counter()
     idx = native.index_reads(bg_reads)
     result["floor_bgzf_index_s"] = round(time.perf_counter() - t0, 1)
@@ -144,8 +150,8 @@ def main(argv=None) -> int:
             ("gz", gz_reads, gz_paf),
             ("bgzf", bg_reads, bg_paf)]
     for name, r, p in runs:
-        if a.cold:
-            _drop_caches()
+        if a.cold and not _drop_caches():
+            result["cold_page_cache"] = "requested_but_drop_failed"
         print(f"== {name} run ==", file=sys.stderr)
         result[name] = _run_ours(
             r, p, os.path.join(a.dir, f"out_{name}"),
@@ -168,8 +174,8 @@ def main(argv=None) -> int:
         from raft_tpu.tools.refbuild import build_reference
         ref_bin = build_reference(a.dir)
         if ref_bin:
-            if a.cold:
-                _drop_caches()
+            if a.cold and not _drop_caches():
+                result["cold_page_cache"] = "requested_but_drop_failed"
             print("== reference gz run ==", file=sys.stderr)
             t0 = time.perf_counter()
             rp = os.path.join(a.dir, "out_refgz")

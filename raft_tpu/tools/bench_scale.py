@@ -121,8 +121,12 @@ def main(argv=None) -> int:
     os.makedirs(args.dir, exist_ok=True)
     from raft_tpu.tools.benchgen import gen_dataset
     t0 = time.perf_counter()
+    # the prefix encodes every shape knob: gen_dataset caches by
+    # existence, so a changed length must not silently reuse stale data
+    tag = f"scale{args.reads}" if args.mean_len == 23600 \
+        else f"scale{args.reads}_len{args.mean_len}"
     reads, paf = gen_dataset(
-        os.path.join(args.dir, f"scale{args.reads}"), n_reads=args.reads,
+        os.path.join(args.dir, tag), n_reads=args.reads,
         mean_len=args.mean_len,
         n_overlaps=args.reads * args.rows_per_read, est_cov=20)
     gen_s = time.perf_counter() - t0
