@@ -165,3 +165,27 @@ def test_auto_e_missing_e_without_flag_still_errors(tmp_path, capsys):
                   f"{tmp}/overlaps.paf"], tmp)
     cap = capsys.readouterr()
     assert "estimated coverage must be set properly" in cap.out
+
+
+def test_auto_e_no_signal_is_friendly_error(tmp_path, capsys):
+    """A PAF whose every interval is empty leaves no covered window:
+    --auto-e must present an actionable ERROR (rc 1), not a traceback
+    (r5 self-review finding 6)."""
+    tmp = str(tmp_path)
+    datagen.standard_case(seed=36, tmpdir=tmp, n_reads=5)
+    # rewrite the PAF with end=0 matches only: hi = end-1 = -1 is an
+    # invalid (empty) event on every path, so NO window is covered
+    # (end=5 would not work: [5,4] still bins to window 0, which the
+    # reference also counts)
+    paf = f"{tmp}/overlaps.paf"
+    rows = [ln.split("\t") for ln in open(paf).read().splitlines() if ln]
+    with open(paf, "w") as f:
+        for c in rows[:4]:
+            c[2], c[3], c[7], c[8] = "0", "0", "0", "0"
+            f.write("\t".join(c) + "\n")
+    rc = _run_cli(["--auto-e", *FLAGS, "-o", "ns",
+                   f"{tmp}/reads.fasta", paf], tmp)
+    assert rc == 1
+    cap = capsys.readouterr()
+    assert "ERROR, --auto-e: no covered window" in cap.err
+    assert "Traceback" not in cap.err
