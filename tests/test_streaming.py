@@ -236,3 +236,30 @@ def test_chunked_streams_bgzf_input(tmp_path):
         a = (tmp_path / f"plain{ext}").read_bytes()
         b = (tmp_path / f"bgzf{ext}").read_bytes()
         assert a == b, ext
+
+
+def test_chunked_streams_multimember_gz(tmp_path):
+    """Concatenated gzip members (cat a.gz b.gz — legal gzip, what
+    parallel compressors and chunked uploaders produce) must stream
+    through the gz index path byte-identically: gzread handles member
+    boundaries, and the BGZF sniffer's fallback must not truncate at
+    the first member."""
+    import gzip
+
+    tmp = str(tmp_path)
+    reads, paf = datagen.standard_case(seed=895, tmpdir=tmp, n_reads=17)
+    data = open(reads, "rb").read()
+    half = data.find(b">", len(data) // 2)  # split at a record boundary
+    mm = reads + ".mm.gz"
+    with open(mm, "wb") as f:
+        f.write(gzip.compress(data[:half]))
+        f.write(gzip.compress(data[half:]))
+    run_pipeline(reads, paf, _params(tmp, "plainm"), engine="jax",
+                 verbose=False, chunk_reads=5)
+    st = run_pipeline(mm, paf, _params(tmp, "multi"), engine="jax",
+                      verbose=False, chunk_reads=5)
+    assert st.n_reads == 17
+    for ext in OUTS:
+        a = (tmp_path / f"plainm{ext}").read_bytes()
+        b = (tmp_path / f"multi{ext}").read_bytes()
+        assert a == b, ext
