@@ -108,3 +108,58 @@ def test_interval_algebra():
                             False]
     assert ev.n50(np.asarray([1, 1, 1, 97])) == 97
     assert ev.n50(np.asarray([10, 10, 10, 10])) == 10
+
+
+@pytest.mark.slow
+def test_asm_proxy_contiguity(tmp_path):
+    """Under the idealized OLC-uniqueness layout (EVAL.md r5), RAFT
+    fragments must assemble substantially more contiguously than the
+    position-blind tiling of the same reads."""
+    import os
+    import re
+
+    import numpy as np
+
+    from raft_tpu.params import AlgoParams
+    from raft_tpu.pipeline import run_pipeline
+    from raft_tpu.tools import asm_proxy
+    from raft_tpu.tools.simulate import write_simulation
+
+    wd = str(tmp_path)
+    prefix = os.path.join(wd, "sim")
+    info = write_simulation(prefix, 2_000_000, 30.0, 3, 15000, 4, seed=11)
+    params = AlgoParams(est_cov=info["est_cov"],
+                        outputfilename=os.path.join(wd, "out"))
+    run_pipeline(prefix + ".reads.fasta", prefix + ".overlaps.paf",
+                 params, verbose=False)
+    raft = asm_proxy.evaluate(os.path.join(wd, "out.reads.fasta"),
+                              prefix + ".truth_repeats.bed")
+
+    hdr = re.compile(
+        rb">read=\d+,(forward|reverse),position=(\d+)-(\d+),length=\d+,")
+    iv = []
+    L = params.read_length
+    for line in open(prefix + ".reads.fasta", "rb"):
+        if line.startswith(b">"):
+            m = hdr.match(line)
+            al, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+            cuts = list(range(0, b - a, L)) + [b - a]
+            for j in range(len(cuts) - 1):
+                lo, hi = cuts[j], cuts[j + 1]
+                iv.append((a + lo, a + hi) if al == b"forward"
+                          else (b - hi, b - lo))
+    naive = np.asarray(iv, dtype=np.int64)
+    reps = asm_proxy.read_bed(prefix + ".truth_repeats.bed")
+    merged = [list(reps[0])]
+    for s, e in reps[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    c, amb, _ = asm_proxy.assemble(naive,
+                                   np.asarray(merged, dtype=np.int64), 500)
+    span = int(naive[:, 1].max() - naive[:, 0].min())
+    naive_ng50 = asm_proxy.ng50(c, span)
+
+    assert raft["ng50"] >= 1.5 * naive_ng50, (raft, naive_ng50)
+    assert raft["ambiguous_junction_breaks"] < amb, (raft, amb)
