@@ -1810,7 +1810,16 @@ RaftGroupedEv* raftio_group_events(
   auto* g = new RaftGroupedEv();
   g->off.assign(static_cast<size_t>(n_reads) + 1, 0);
   int64_t* cnt = g->off.data() + 1;  // counts accumulate at off[1..n]
+  // counting-sort passes touch cnt/cur at RANDOM read ids: at millions
+  // of reads those arrays miss on every access — prefetch 16 rows
+  // ahead (same fix as the interner probes, SCALE_r05 hotspot)
+  constexpr int64_t PD = 16;
   for (int64_t r = 0; r < n_rows; r++) {
+    if (r + PD < n_rows) {
+      const int32_t pa = a_id[r + PD], pb = b_id[r + PD];
+      if (pa >= 0 && pa < n_reads) __builtin_prefetch(&cnt[pa], 1);
+      if (pb >= 0 && pb < n_reads) __builtin_prefetch(&cnt[pb], 1);
+    }
     const int32_t a = a_id[r], b = b_id[r];
     if (a >= 0 && a < n_reads) cnt[a]++; else g->n_unknown++;
     if (b < 0 || b >= n_reads) g->n_unknown++;
@@ -1833,6 +1842,11 @@ RaftGroupedEv* raftio_group_events(
     if (lo < 0 || hi >= lens[rid]) oob++;
   };
   for (int64_t r = 0; r < n_rows; r++) {
+    if (r + PD < n_rows) {
+      const int32_t pa = a_id[r + PD], pb = b_id[r + PD];
+      if (pa >= 0 && pa < n_reads) __builtin_prefetch(&cur[pa], 1);
+      if (pb >= 0 && pb < n_reads) __builtin_prefetch(&cur[pb], 1);
+    }
     const int32_t a = a_id[r], b = b_id[r];
     if (a >= 0 && a < n_reads)
       put(a, a_s[r], static_cast<int64_t>(a_e[r]) - 1);
